@@ -1,0 +1,204 @@
+"""CX training/eval engine: fully-jitted steps over a device-resident
+feature matrix.
+
+Replaces the reference hot loop (``counterexamples.py:314-361``) whose per-batch
+work is: host numpy fancy-indexing of 25 feature rows per example, a
+B x 25 x 2048 H2D copy, a Python loop over 24 candidates, loss, backward, Adam.
+Here one ``jax.jit``-compiled function does: on-device gather from the
+HBM-resident feature matrix, the batched forward (ops/scorer.py), masked CE
+loss, grads, Adam — no host round-trips; metrics come back as 3 scalars.
+
+Parallelism: with a multi-device mesh the same step is jitted with the batch
+sharded over the 'data' axis and params/features replicated; XLA inserts the
+gradient all-reduce over ICI (the TPU-native ``nn.DataParallel``).
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..core import rng as rng_lib
+from ..data import vqacx
+from ..ops.metrics import cross_entropy_sum, recall_at_k
+
+
+class CXTrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def init_cx_state(model, optimizer, example_batch: dict, features,
+                  seed: int = 42, extra_apply_args: tuple = ()) -> CXTrainState:
+    """Initialize params from one example batch (shapes only matter)."""
+    key = jax.random.key(seed)
+    k_param, k_drop, k_lesion = jax.random.split(key, 3)
+    image_features = jnp.asarray(features)[example_batch["image_idxs"]]
+    variables = model.init(
+        {"params": k_param, "dropout": k_drop, "lesion": k_lesion},
+        image_features,
+        jnp.asarray(example_batch["question_wids"]),
+        jnp.asarray(example_batch["answer_aids"]),
+        *extra_apply_args,
+        deterministic=True)
+    params = variables.get("params", {})
+    opt_state = optimizer.init(params) if optimizer is not None else None
+    return CXTrainState(params=params, opt_state=opt_state,
+                        step=jnp.zeros((), jnp.int32))
+
+
+def make_cx_train_step(model, optimizer, *, recall_k: int = 5,
+                       base_seed: int = 42,
+                       extra_apply_args: tuple = ()) -> Callable:
+    """Returns jitted ``train_step(state, features, batch, n_valid)``.
+
+    ``batch`` holds int32 arrays (image_idxs (B,K+1), question_wids (B,T),
+    answer_aids (B,), comp_idxs (B,)); ``n_valid`` masks padded tail rows of
+    the final short batch.  Loss = CE(scores, comp)/n_valid, matching the
+    reference (counterexamples.py:333-334).
+    """
+    root = rng_lib.root_key(base_seed)
+
+    @jax.jit
+    def train_step(state: CXTrainState, features, batch, n_valid):
+        keys = rng_lib.step_keys(root, state.step, ("dropout", "lesion"))
+        batch_size = batch["comp_idxs"].shape[0]
+        mask = jnp.arange(batch_size) < n_valid
+
+        def loss_fn(params):
+            image_features = jnp.take(features, batch["image_idxs"], axis=0)
+            scores = model.apply(
+                {"params": params}, image_features, batch["question_wids"],
+                batch["answer_aids"], *extra_apply_args,
+                deterministic=False, rngs=keys)
+            logp = jax.nn.log_softmax(scores, axis=-1)
+            nll = -jnp.take_along_axis(
+                logp, batch["comp_idxs"][:, None].astype(jnp.int32),
+                axis=-1)[:, 0]
+            loss = jnp.sum(nll * mask) / n_valid
+            return loss, scores
+
+        (loss, scores), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        updates, new_opt_state = optimizer.update(grads, state.opt_state,
+                                                  state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        k = min(recall_k, scores.shape[-1])
+        correct = jnp.sum(recall_at_k(scores, batch["comp_idxs"], k=k) * mask)
+        new_state = CXTrainState(new_params, new_opt_state, state.step + 1)
+        return new_state, {"loss": loss, "correct": correct,
+                           "n": n_valid.astype(jnp.float32)}
+
+    return train_step
+
+
+def make_cx_eval_step(model, *, recall_k: int = 5, base_seed: int = 123,
+                      extra_apply_args: tuple = ()) -> Callable:
+    """Jitted eval: summed CE loss + recall@K counts, masked for padding.
+    The 'lesion' stream stays live in eval — the reference draws torch.rand
+    placeholders regardless of mode (cx.py:266-307)."""
+    root = rng_lib.root_key(base_seed)
+
+    @jax.jit
+    def eval_step(params, features, batch, n_valid, step):
+        keys = rng_lib.step_keys(root, step, ("lesion",))
+        batch_size = batch["comp_idxs"].shape[0]
+        mask = jnp.arange(batch_size) < n_valid
+        image_features = jnp.take(features, batch["image_idxs"], axis=0)
+        scores = model.apply(
+            {"params": params}, image_features, batch["question_wids"],
+            batch["answer_aids"], *extra_apply_args,
+            deterministic=True, rngs=keys)
+        logp = jax.nn.log_softmax(scores, axis=-1)
+        nll = -jnp.take_along_axis(
+            logp, batch["comp_idxs"][:, None].astype(jnp.int32), axis=-1)[:, 0]
+        k = min(recall_k, scores.shape[-1])
+        hits = recall_at_k(scores, batch["comp_idxs"], k=k)
+        hits1 = recall_at_k(scores, batch["comp_idxs"], k=1)
+        return {"loss_sum": jnp.sum(nll * mask),
+                "correct": jnp.sum(hits * mask),
+                "correct1": jnp.sum(hits1 * mask)}
+
+    return eval_step
+
+
+def eval_model(eval_step, params, features, arrays: vqacx.CXArrays,
+               batch_size: int, *, pairwise: bool = False,
+               pairwise_eval_step=None, rng=None) -> dict:
+    """Full-dataset eval (reference eval_model, counterexamples.py:450-490):
+    returns {'loss', 'recall'} (+ recall@1; + pairwise metrics if requested)."""
+    totals = {"loss_sum": 0.0, "correct": 0.0, "correct1": 0.0}
+    n_total = 0
+    step = 0
+    for idx, n_valid in vqacx.batch_indices(arrays.size, batch_size,
+                                            shuffle=False):
+        batch = vqacx.gather_batch(arrays, idx)
+        out = eval_step(params, features, batch,
+                        jnp.asarray(n_valid, jnp.float32),
+                        jnp.asarray(step, jnp.int32))
+        for key in totals:
+            totals[key] += float(out[key])
+        n_total += n_valid
+        step += 1
+    results = {"loss": totals["loss_sum"] / n_total,
+               "recall": totals["correct"] / n_total,
+               "recall_1": totals["correct1"] / n_total}
+
+    if pairwise:
+        assert pairwise_eval_step is not None
+        pw = arrays.pairwise_view(rng or np.random.default_rng(123))
+        ptot = {"loss_sum": 0.0, "correct": 0.0}
+        step = 0
+        for idx, n_valid in vqacx.batch_indices(pw.size, batch_size,
+                                                shuffle=False):
+            batch = vqacx.gather_batch(pw, idx)
+            out = pairwise_eval_step(params, features, batch,
+                                     jnp.asarray(n_valid, jnp.float32),
+                                     jnp.asarray(step, jnp.int32))
+            ptot["loss_sum"] += float(out["loss_sum"])
+            ptot["correct"] += float(out["correct1"])
+            step += 1
+        results["loss_pairwise"] = ptot["loss_sum"] / n_total
+        results["acc_pairwise"] = ptot["correct"] / n_total
+    return results
+
+
+def train_epoch(train_step, state: CXTrainState, features,
+                arrays: vqacx.CXArrays, batch_size: int, *,
+                pairwise: bool = False, rng=None,
+                log_fn=None, print_freq: int = 100,
+                eval_fn=None, eval_freq: int = -1):
+    """One epoch over shuffled batches (reference counterexamples.py:312-361).
+
+    ``log_fn(step_in_epoch, metrics)`` fires every print_freq batches;
+    ``eval_fn()`` fires every eval_freq batches and at epoch end, and its last
+    result is returned (reference semantics: info.append(eval_results))."""
+    rng = rng or np.random.default_rng()
+    view = arrays.pairwise_view(rng) if pairwise else arrays
+    n_batches = (view.size + batch_size - 1) // batch_size
+    eval_results = None
+    t0 = time.time()
+    n_seen = 0
+    for b, (idx, n_valid) in enumerate(
+            vqacx.batch_indices(view.size, batch_size, shuffle=True, rng=rng),
+            start=1):
+        batch = vqacx.gather_batch(view, idx)
+        state, metrics = train_step(state, features, batch,
+                                    jnp.asarray(n_valid, jnp.float32))
+        n_seen += n_valid
+        if log_fn is not None and b % print_freq == 0:
+            m = {"loss": float(metrics["loss"]),
+                 "recall": float(metrics["correct"]) / n_valid,
+                 "examples_per_sec": n_seen / (time.time() - t0)}
+            log_fn(b, m)
+        if eval_fn is not None and ((eval_freq > 0 and b % eval_freq == 0)
+                                    or b == n_batches):
+            eval_results = eval_fn(state)
+    return state, eval_results

@@ -1,0 +1,381 @@
+"""The counterexample (CX) model zoo — 9 scorers over 24 candidate images.
+
+Flax re-design of reference ``vqa/models/cx.py``.  Shared contract
+(cx.py:100): ``forward(image_features[B,K+1,2048], question_wids[B,26],
+answer_aids[B]) -> scores[B,K]`` where index 0 of the candidate axis is the
+original image and 1..K are its KNNs.
+
+TPU-first changes vs the reference:
+
+* ``vqa_forward`` (cx.py:64-104) flattens the candidate axis into the batch and
+  runs seq2vec once per question — kept, but the whole thing is traced into a
+  single XLA program (one fused MUTAN GEMM over B*(K+1) rows);
+* every per-candidate Python loop (NeuralModel cx.py:289-331, Pairwise
+  cx.py:363-374, Similarity cx.py:511-515, Contrastive cx.py:461-466) is a
+  batched einsum over the candidate axis;
+* NeuralModel's first layer uses the decomposed kernel in ``ops/scorer.py``;
+* frozen-VQA semantics (cx.py:59-60, 73-80, 98-102) map to
+  ``jax.lax.stop_gradient`` + deterministic (eval-mode) VQA dropout — with
+  Adam, zero grads are exactly "requires_grad=False";
+* the ``torch.rand`` lesion placeholders (cx.py:266-307) draw from the
+  ``'lesion'`` PRNG collection so runs stay reproducible under jit.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops import scorer as scorer_ops
+from ..ops.metrics import cosine_similarity, pairwise_distance
+
+
+def _uniform(module: nn.Module, shape) -> jax.Array:
+    """torch.rand placeholder: U[0,1) from the 'lesion' rng collection."""
+    return jax.random.uniform(module.make_rng("lesion"), shape)
+
+
+class RandomBaseline(nn.Module):
+    """Uniform random scores (reference cx.py:20-30)."""
+    knn_size: int = 24
+
+    @nn.compact
+    def __call__(self, image_features, question_wids, answer_aids,
+                 deterministic: bool = True):
+        batch = image_features.shape[0]
+        return _uniform(self, (batch, self.knn_size))
+
+
+class DistanceBaseline(nn.Module):
+    """Scores = reversed NN-rank order, no params (reference cx.py:33-44)."""
+    knn_size: int = 24
+
+    @nn.compact
+    def __call__(self, image_features, question_wids, answer_aids,
+                 deterministic: bool = True):
+        batch = image_features.shape[0]
+        row = jnp.arange(self.knn_size - 1, -1, -1, dtype=jnp.float32)
+        return jnp.broadcast_to(row[None, :], (batch, self.knn_size))
+
+
+class CXModelBase(nn.Module):
+    """Holds the VQA backbone and runs it over all K+1 images at once
+    (reference cx.py:51-107)."""
+    vqa_model: nn.Module
+    knn_size: int = 24
+    trainable_vqa: bool = False
+
+    def vqa_forward(self, image_features: jax.Array, question_wids: jax.Array,
+                    deterministic: bool = True):
+        # K+1 comes from the input shape (the reference asserts it equals
+        # knn_size+1, cx.py:65, and mutates knn_size for pairwise eval —
+        # shape-derived K serves both without mutation).
+        batch, k1, _ = image_features.shape
+
+        # frozen VQA runs in eval mode (no dropout) regardless of CX training
+        # (reference cx.py:59-60,78); trainable VQA follows the CX mode.
+        vqa_det = True if not self.trainable_vqa else deterministic
+
+        v_emb = image_features.reshape(batch * k1, -1)
+        q_emb = self.vqa_model.encode_question(question_wids, vqa_det)
+        if not self.trainable_vqa:
+            q_emb = jax.lax.stop_gradient(q_emb)
+
+        q_dup = jnp.broadcast_to(q_emb[:, None, :],
+                                 (batch, k1, q_emb.shape[-1]))
+        q_dup = q_dup.reshape(batch * k1, -1)
+
+        z = self.vqa_model.fuse(v_emb, q_dup, vqa_det)
+        a = self.vqa_model.classify(z, vqa_det)
+
+        a = a.reshape(batch, k1, -1)
+        z = z.reshape(batch, k1, -1)
+        if not self.trainable_vqa:
+            a = jax.lax.stop_gradient(a)
+            z = jax.lax.stop_gradient(z)
+
+        return a[:, 0], z[:, 0], a[:, 1:], z[:, 1:], q_emb
+
+    def __call__(self, image_features, question_wids, answer_aids,
+                 deterministic: bool = True):
+        raise NotImplementedError
+
+
+class BlackBox(CXModelBase):
+    """score_i = -softmax(a_knn_i)[original answer] (reference cx.py:114-136):
+    candidates likely to repeat the answer are bad counterexamples."""
+
+    @nn.compact
+    def __call__(self, image_features, question_wids, answer_aids,
+                 deterministic: bool = True):
+        _, _, a_knns, _, _ = self.vqa_forward(image_features, question_wids,
+                                              deterministic)
+        probs = jax.nn.softmax(a_knns, axis=-1)
+        aid = answer_aids[:, None, None].astype(jnp.int32)
+        return -jnp.take_along_axis(probs, aid, axis=-1)[..., 0]
+
+
+class LinearContext(CXModelBase):
+    """One linear over the concat of all K fused embeddings
+    (reference cx.py:139-156)."""
+
+    @nn.compact
+    def __call__(self, image_features, question_wids, answer_aids,
+                 deterministic: bool = True):
+        _, _, _, z_knns, _ = self.vqa_forward(image_features, question_wids,
+                                              deterministic)
+        batch = z_knns.shape[0]
+        return nn.Dense(self.knn_size, name="linear")(
+            z_knns.reshape(batch, -1))
+
+
+class SemanticBaseline(CXModelBase):
+    """lam * (answer-similarity-weighted mass) - (1-lam) * log p(orig answer),
+    softmaxed over candidates (reference cx.py:159-210).  The reference does
+    this per-example in numpy on host; here it is one fused device computation.
+    ``emb_pairs`` is the (A, A) cosine-similarity matrix of the answer
+    embedding table (cx.py:173-175)."""
+    lam: float = 0.5
+
+    @nn.compact
+    def __call__(self, image_features, question_wids, answer_aids,
+                 emb_pairs: jax.Array = None, deterministic: bool = True):
+        assert emb_pairs is not None, "pass emb_pairs (A, A) cosine matrix"
+        _, _, a_knns, _, _ = self.vqa_forward(image_features, question_wids,
+                                              deterministic)
+        nb = jax.nn.softmax(a_knns, axis=-1)                   # (B, K, A)
+        sim_rows = emb_pairs[answer_aids.astype(jnp.int32)]    # (B, A)
+        weighted_sim = jnp.einsum("ba,bka->bk", sim_rows, nb)
+        aid = answer_aids[:, None, None].astype(jnp.int32)
+        p_orig = jnp.take_along_axis(nb, aid, axis=-1)[..., 0]  # (B, K)
+        # reference subtracts the candidate's own mass on the original answer
+        # before mixing (cx.py:196-197), then uses log(p + 1e-8)
+        weighted_sim = weighted_sim - p_orig
+        logp = jnp.log(p_orig + 1e-8)
+        scores = self.lam * weighted_sim - (1.0 - self.lam) * logp
+        return jax.nn.softmax(scores, axis=-1)
+
+
+class NeuralModel(CXModelBase):
+    """NeuralCX (reference cx.py:218-333): a per-candidate MLP over the
+    14089-d concat [v_orig, v_other, v_orig*v_other, ||v_orig-v_other||,
+    rank-one-hot, q_emb, z_orig, z_other, a_emb_gt, a_emb_other], scored for
+    all 24 candidates in one decomposed batched GEMM (ops/scorer.py).
+
+    ``model_spec`` lesion flags replicate cx.py:265-307 including the quirk
+    that the q_emb lesion only takes effect when z_emb is also lesioned
+    (the reference's if/else at cx.py:270-277).
+    """
+    model_spec: Mapping[str, Any] = None
+    dim_h: int = 300
+    n_layers: int = 2
+    drop_p: float = 0.25
+    dim_a: int = 2400
+
+    @nn.compact
+    def __call__(self, image_features, question_wids, answer_aids,
+                 deterministic: bool = True):
+        spec = self.model_spec
+        batch, k1, _ = image_features.shape
+        K = self.knn_size
+        assert k1 == K + 1
+
+        dim_v = self.vqa_model.opt["fusion"]["dim_v"]
+        dim_q = self.vqa_model.opt["fusion"]["dim_q"]
+        dim_z = self.vqa_model.opt["fusion"]["dim_mm"]
+        ans_size = len(self.vqa_model.vocab_answers)
+
+        if not spec["v_emb"]:
+            image_features = _uniform(self, (batch, K + 1, dim_v))
+        v_orig = image_features[:, 0]
+        v_knns = image_features[:, 1:]
+
+        a_knns = None
+        if spec["q_emb"] or spec["z_emb"] or spec["a_emb"]:
+            # (reference runs vqa_forward when q_emb or z_emb; it would crash
+            # with a_emb=True and both false — we additionally run it then)
+            _, z_orig, a_knns, z_knns, q_emb = self.vqa_forward(
+                image_features, question_wids, deterministic)
+            if not spec["q_emb"] and not spec["z_emb"]:
+                q_emb = _uniform(self, (batch, dim_q))
+                z_orig = _uniform(self, (batch, dim_z))
+                z_knns = _uniform(self, (batch, K, dim_z))
+        else:
+            q_emb = _uniform(self, (batch, dim_q))
+            z_orig = _uniform(self, (batch, dim_z))
+            z_knns = _uniform(self, (batch, K, dim_z))
+
+        answer_embedding = self.param(
+            "answer_embedding", nn.initializers.normal(stddev=1.0),
+            (ans_size, self.dim_a))
+        if spec["a_emb"]:
+            a_emb_gt = answer_embedding[answer_aids.astype(jnp.int32)]
+            a_probs = jax.nn.softmax(a_knns, axis=-1)
+            # soft mixture of answer embeddings (reference bmm, cx.py:279-282)
+            a_emb_knns = jnp.einsum("bka,ad->bkd", a_probs, answer_embedding)
+        else:
+            a_emb_gt = _uniform(self, (batch, self.dim_a))
+            a_emb_knns = _uniform(self, (batch, K, self.dim_a))
+
+        if spec["v_mult"]:
+            v_mult = v_orig[:, None, :] * v_knns
+        else:
+            v_mult = jnp.zeros((batch, K, dim_v))
+        if spec["v_dist"]:
+            v_dist = pairwise_distance(v_orig[:, None, :], v_knns,
+                                       keepdims=False)
+        else:
+            v_dist = jnp.zeros((batch, K))
+        if spec["v_rank"]:
+            v_rank = jnp.broadcast_to(jnp.eye(K)[None], (batch, K, K))
+        else:
+            # reference resamples rand per candidate inside the loop
+            v_rank = _uniform(self, (batch, K, K))
+
+        slices = scorer_ops.FeatureSlices(dim_v=dim_v, dim_q=dim_q,
+                                          dim_z=dim_z, dim_a=self.dim_a,
+                                          knn_size=K)
+        w1 = self.param("linear_1_w", nn.initializers.lecun_normal(),
+                        (slices.input_size, self.dim_h))
+        b1 = self.param("linear_1_b", nn.initializers.zeros, (self.dim_h,))
+
+        h = scorer_ops.first_layer_decomposed(
+            w1, b1, slices, v_orig=v_orig, v_knns=v_knns, v_mult=v_mult,
+            v_dist=v_dist, v_rank=v_rank, q_emb=q_emb, z_orig=z_orig,
+            z_knns=z_knns, a_emb_gt=a_emb_gt, a_emb_knns=a_emb_knns)
+
+        hidden_ws, hidden_bs = [], []
+        for layer in range(2, self.n_layers + 1):
+            hidden_ws.append(self.param(f"linear_{layer}_w",
+                                        nn.initializers.lecun_normal(),
+                                        (self.dim_h, self.dim_h)))
+            hidden_bs.append(self.param(f"linear_{layer}_b",
+                                        nn.initializers.zeros, (self.dim_h,)))
+        w_out = self.param("out_w", nn.initializers.lecun_normal(),
+                           (self.dim_h, 1))
+        b_out = self.param("out_b", nn.initializers.zeros, (1,))
+
+        rng = None if (deterministic or self.drop_p == 0.0) \
+            else self.make_rng("dropout")
+        return scorer_ops.mlp_tail(h, hidden_ws, hidden_bs, w_out, b_out,
+                                   drop_p=self.drop_p,
+                                   deterministic=deterministic, rng=rng)
+
+
+class PairwiseModel(CXModelBase):
+    """Hard-negative pairwise scorer (reference cx.py:336-376): MLP over
+    [v_orig, v_other, q_emb, z_other] -> relu(score); trained with K=2
+    (comp vs a random other), evaluated with K=24.  K comes from the input
+    shape, so the same params serve both (the reference mutates
+    ``cx_model.knn_size``, counterexamples.py:461-471)."""
+
+    @nn.compact
+    def __call__(self, image_features, question_wids, answer_aids,
+                 deterministic: bool = True):
+        batch, k1, dim_v = image_features.shape
+        K = k1 - 1
+        v_orig = image_features[:, 0]
+        v_knns = image_features[:, 1:]
+
+        _, _, _, z_knns, q_emb = self.vqa_forward(
+            image_features, question_wids, deterministic)
+        z_knns = jax.lax.stop_gradient(z_knns)  # reference cx.py:359
+
+        dim_h = 300
+        linear = nn.Dense(dim_h, name="linear")
+        out = nn.Dense(1, name="out")
+
+        def tile(x):
+            return jnp.broadcast_to(x[:, None, :], (batch, K, x.shape[-1]))
+
+        x = jnp.concatenate([tile(v_orig), v_knns, tile(q_emb), z_knns],
+                            axis=-1)
+        h = jax.nn.relu(linear(x))
+        return jax.nn.relu(out(h))[..., 0]
+
+
+class PairwiseLinearModel(CXModelBase):
+    """24-way pairwise variant with a learned 300-d answer embedding
+    (reference cx.py:379-425)."""
+    dim_a: int = 300
+
+    @nn.compact
+    def __call__(self, image_features, question_wids, answer_aids,
+                 deterministic: bool = True):
+        batch, k1, _ = image_features.shape
+        K = k1 - 1
+        v_orig = image_features[:, 0]
+        v_knns = image_features[:, 1:]
+
+        _, z_orig, _, z_knns, q_emb = self.vqa_forward(
+            image_features, question_wids, deterministic)
+
+        a_emb = nn.Embed(len(self.vqa_model.vocab_answers), self.dim_a,
+                         name="answer_embedding")(
+            answer_aids.astype(jnp.int32))
+
+        def tile(x):
+            return jnp.broadcast_to(x[:, None, :], (batch, K, x.shape[-1]))
+
+        x = jnp.concatenate([tile(v_orig), v_knns, tile(q_emb), tile(z_orig),
+                             z_knns, tile(a_emb)], axis=-1)
+        h = jax.nn.relu(nn.Dense(300, name="linear")(x))
+        return jax.nn.relu(nn.Dense(1, name="out")(h))[..., 0]
+
+
+class ContrastiveModel(CXModelBase):
+    """Embeds each of the K+1 images to h = relu(Linear([v, z])) (reference
+    cx.py:428-487); trained with the margin contrastive loss in
+    engines/contrastive_engine.py; scored by Euclidean distance orig<->cand."""
+    dim_h: int = 300
+
+    @nn.compact
+    def __call__(self, image_features, question_wids, answer_aids,
+                 deterministic: bool = True):
+        batch, k1, _ = image_features.shape
+        _, z_orig, _, z_knns, _ = self.vqa_forward(
+            image_features, question_wids, deterministic)
+        z_all = jnp.concatenate([z_orig[:, None, :], z_knns], axis=1)
+        x = jnp.concatenate([image_features, z_all], axis=-1)
+        return jax.nn.relu(nn.Dense(self.dim_h, name="linear")(x))
+
+    @staticmethod
+    def get_scores(h_orig: jax.Array, h_knns: jax.Array) -> jax.Array:
+        """Euclidean distances (B, K); larger = better counterexample
+        (reference cx.py:478-487 + contrastive.py eval)."""
+        return pairwise_distance(h_orig[:, None, :], h_knns, keepdims=False)
+
+
+class SimilarityModel(CXModelBase):
+    """Unparameterized: v-cosine + z-cosine + answer cross-entropy
+    (reference cx.py:490-518)."""
+
+    @nn.compact
+    def __call__(self, image_features, question_wids, answer_aids,
+                 deterministic: bool = True):
+        _, z_orig, a_knns, z_knns, _ = self.vqa_forward(
+            image_features, question_wids, deterministic)
+        v_orig = image_features[:, 0]
+        v_knns = image_features[:, 1:]
+        v_cos = cosine_similarity(v_orig[:, None, :], v_knns)
+        z_cos = cosine_similarity(z_orig[:, None, :], z_knns)
+        logp = jax.nn.log_softmax(a_knns, axis=-1)
+        aid = answer_aids[:, None, None].astype(jnp.int32)
+        a_xent = -jnp.take_along_axis(logp, aid, axis=-1)[..., 0]
+        return v_cos + z_cos + a_xent
+
+
+def init_answer_embedding(params: dict, emb) -> dict:
+    """Graft a pretrained (A, 2400) answer-embedding table into NeuralModel
+    params (reference cx.py:240-243 loads answer_embedding.pickle)."""
+    import numpy as np
+
+    emb = jnp.asarray(np.asarray(emb, dtype=np.float32))
+    new = dict(params)
+    assert new["answer_embedding"].shape == emb.shape, (
+        new["answer_embedding"].shape, emb.shape)
+    new["answer_embedding"] = emb
+    return new

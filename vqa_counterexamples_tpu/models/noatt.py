@@ -1,0 +1,72 @@
+"""No-attention VQA classifiers: MLBNoAtt, MutanNoAtt.
+
+Flax re-design of reference ``vqa/models/noatt.py``.  Pipeline
+(noatt.py:31-35): question -> seq2vec -> fusion with pooled visual features ->
+classifier over the 2000-answer vocabulary.  The sub-computations are exposed
+as module methods (``encode_question`` / ``fuse`` / ``classify``) because the
+CX models drive them separately (reference cx.py:64-104 calls
+``vqa_model.seq2vec``, ``_fusion``, ``_classif`` directly).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping, Tuple
+
+import flax.linen as nn
+import jax
+
+from . import fusion as fusion_mod
+from .common import dropout
+from . import seq2vec as seq2vec_mod
+
+
+class AbstractNoAtt(nn.Module):
+    opt: Mapping[str, Any]
+    vocab_words: Tuple[str, ...]
+    vocab_answers: Tuple[str, ...]
+
+    def setup(self):
+        self.seq2vec = seq2vec_mod.factory(self.vocab_words, self.opt["seq2vec"])
+        self.linear_classif = nn.Dense(len(self.vocab_answers))
+        self.fusion_module = self._make_fusion()
+
+    def _make_fusion(self) -> nn.Module:
+        raise NotImplementedError
+
+    # -- pieces (used standalone by the CX zoo) -----------------------------
+    def encode_question(self, input_q: jax.Array,
+                        deterministic: bool = True) -> jax.Array:
+        return self.seq2vec(input_q, deterministic=deterministic)
+
+    def fuse(self, input_v: jax.Array, x_q: jax.Array,
+             deterministic: bool = True) -> jax.Array:
+        return self.fusion_module(input_v, x_q, deterministic=deterministic)
+
+    def classify(self, z: jax.Array, deterministic: bool = True) -> jax.Array:
+        opt_c = self.opt["classif"]
+        x = z
+        if "activation" in opt_c:
+            x = fusion_mod.activation(opt_c["activation"])(x)
+        x = dropout(self, x, opt_c["dropout"], deterministic)
+        return self.linear_classif(x)
+
+    # -- full forward --------------------------------------------------------
+    def __call__(self, input_v: jax.Array, input_q: jax.Array,
+                 deterministic: bool = True) -> jax.Array:
+        x_q = self.encode_question(input_q, deterministic)
+        z = self.fuse(input_v, x_q, deterministic)
+        return self.classify(z, deterministic)
+
+
+class MLBNoAtt(AbstractNoAtt):
+    """Hadamard-product fusion (reference noatt.py:38-46)."""
+
+    def _make_fusion(self) -> nn.Module:
+        return fusion_mod.MLBFusion(self.opt["fusion"])
+
+
+class MutanNoAtt(AbstractNoAtt):
+    """Tucker rank-R fusion; dim_h == dim_mm (reference noatt.py:49-58)."""
+
+    def _make_fusion(self) -> nn.Module:
+        return fusion_mod.MutanFusion(self.opt["fusion"])

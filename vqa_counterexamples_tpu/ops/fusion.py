@@ -1,0 +1,48 @@
+"""Bilinear multimodal fusion ops, MXU-first.
+
+The reference MUTAN fusion (``vqa/models/fusion.py:100-116``) runs a Python
+loop of R=10 pairs of linears with an elementwise product and a stacked sum:
+
+    x_mm = sum_r (x_v @ Wv_r + bv_r) * (x_q @ Wq_r + bq_r)
+
+On TPU that loop is one pair of large matmuls: stack the R projection weights
+into ``(dim_hv, R*dim_mm)`` so each projection is a single MXU-tiled GEMM, then
+reduce the rank axis with a fused multiply-sum (XLA fuses the elementwise part
+into the matmul epilogue).  ~20x fewer kernel launches than the reference and
+the GEMMs are big enough to saturate the systolic array at B*25 rows.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def tucker_rank_fusion(x_v: jax.Array, x_q: jax.Array,
+                       w_v: jax.Array, b_v: jax.Array,
+                       w_q: jax.Array, b_q: jax.Array,
+                       rank: int) -> jax.Array:
+    """sum_r (x_v @ w_v[r] + b_v[r]) * (x_q @ w_q[r] + b_q[r]).
+
+    Args:
+      x_v: (B, dim_hv) visual embedding.
+      x_q: (B, dim_hq) question embedding.
+      w_v: (dim_hv, R*dim_mm) stacked visual projections (rank-major blocks).
+      b_v: (R*dim_mm,) stacked bias.
+      w_q/b_q: same for the question side.
+      rank: R, the Tucker decomposition rank.
+
+    Returns (B, dim_mm).
+    """
+    batch = x_v.shape[0]
+    dim_mm = w_v.shape[1] // rank
+    hv = (x_v @ w_v + b_v).reshape(batch, rank, dim_mm)
+    hq = (x_q @ w_q + b_q).reshape(batch, rank, dim_mm)
+    return jnp.sum(hv * hq, axis=1)
+
+
+def stack_rank_weights(w_list, b_list):
+    """Stack per-rank (din, dmm) weights into the fused layout above."""
+    w = jnp.concatenate([w for w in w_list], axis=1)
+    b = jnp.concatenate([b for b in b_list], axis=0)
+    return w, b

@@ -1,0 +1,144 @@
+"""Recurrent cells as `lax.scan` loops with one fused input GEMM.
+
+TPU-first layout: the input projection for *all* timesteps is a single
+(B*T, D) x (D, 3H|4H) GEMM done outside the scan; the scan body only carries
+the (B, H) recurrent GEMM, so the MXU sees two large matmuls instead of
+T small ones.  Sequences are fixed-length (26 tokens, reference
+``options/*/default.yaml maxlength: 26``) with zero-padding; the final state is
+gathered at index ``length-1`` exactly like the reference ``select_last``
+(``vqa/models/seq2vec.py:16-25``).
+
+GRU convention (matches torch.nn.GRU and the skip-thoughts.torch BayesianGRU
+used by the reference, ``seq2vec.py:6-8,80-85``):
+
+    r = sigmoid(W_ir x + b_ir + W_hr h + b_hr)
+    z = sigmoid(W_iz x + b_iz + W_hz h + b_hz)
+    n = tanh  (W_in x + b_in + r * (W_hn h + b_hn))
+    h' = (1 - z) * n + z * h
+
+"Bayesian" (variational) dropout = one dropout mask per sequence shared across
+timesteps, applied to the cell inputs/state before the projections.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+def process_lengths(wids: jax.Array) -> jax.Array:
+    """Length = maxlength - (#zero tokens); reference seq2vec.py:11-14."""
+    max_length = wids.shape[1]
+    return max_length - jnp.sum(wids == 0, axis=1)
+
+
+def select_last(states: jax.Array, lengths: jax.Array) -> jax.Array:
+    """Gather hidden state at timestep ``length-1``; reference seq2vec.py:16-25."""
+    idx = jnp.clip(lengths - 1, 0, states.shape[1] - 1).astype(jnp.int32)
+    return jnp.take_along_axis(states, idx[:, None, None], axis=1)[:, 0, :]
+
+
+class GRUParams(NamedTuple):
+    w_ih: jax.Array  # (D, 3H)   gate order: r, z, n
+    b_ih: jax.Array  # (3H,)
+    w_hh: jax.Array  # (H, 3H)
+    b_hh: jax.Array  # (3H,)
+
+
+def gru_init(key: jax.Array, dim_in: int, dim_h: int,
+             dtype=jnp.float32) -> GRUParams:
+    k1, k2 = jax.random.split(key)
+    s = 1.0 / jnp.sqrt(dim_h)
+    return GRUParams(
+        w_ih=jax.random.uniform(k1, (dim_in, 3 * dim_h), dtype, -s, s),
+        b_ih=jnp.zeros((3 * dim_h,), dtype),
+        w_hh=jax.random.uniform(k2, (dim_h, 3 * dim_h), dtype, -s, s),
+        b_hh=jnp.zeros((3 * dim_h,), dtype),
+    )
+
+
+def gru_scan(params: GRUParams, x: jax.Array, *, dropout: float = 0.0,
+             deterministic: bool = True, rng: jax.Array | None = None,
+             h0: jax.Array | None = None) -> jax.Array:
+    """Run a GRU over (B, T, D) -> all hidden states (B, T, H)."""
+    batch, seq_len, _ = x.shape
+    dim_h = params.w_hh.shape[0]
+    if h0 is None:
+        h0 = jnp.zeros((batch, dim_h), x.dtype)
+
+    mask_x = mask_h = None
+    if not deterministic and dropout > 0.0:
+        if rng is None:
+            raise ValueError("rng required for non-deterministic GRU")
+        kx, kh = jax.random.split(rng)
+        # variational dropout: one mask per sequence, shared across time
+        mask_x = jax.random.bernoulli(kx, 1.0 - dropout, (batch, x.shape[-1]))
+        mask_x = mask_x.astype(x.dtype) / (1.0 - dropout)
+        mask_h = jax.random.bernoulli(kh, 1.0 - dropout, (batch, dim_h))
+        mask_h = mask_h.astype(x.dtype) / (1.0 - dropout)
+        x = x * mask_x[:, None, :]
+
+    # one fused GEMM for every timestep's input projection
+    x_proj = (x.reshape(batch * seq_len, -1) @ params.w_ih + params.b_ih)
+    x_proj = x_proj.reshape(batch, seq_len, 3 * dim_h)
+
+    def step(h, xp):
+        h_in = h * mask_h if mask_h is not None else h
+        h_proj = h_in @ params.w_hh + params.b_hh
+        xr, xz, xn = jnp.split(xp, 3, axis=-1)
+        hr, hz, hn = jnp.split(h_proj, 3, axis=-1)
+        r = jax.nn.sigmoid(xr + hr)
+        z = jax.nn.sigmoid(xz + hz)
+        n = jnp.tanh(xn + r * hn)
+        h_new = (1.0 - z) * n + z * h
+        return h_new, h_new
+
+    _, states = jax.lax.scan(step, h0, jnp.swapaxes(x_proj, 0, 1))
+    return jnp.swapaxes(states, 0, 1)
+
+
+class LSTMParams(NamedTuple):
+    w_ih: jax.Array  # (D, 4H)   gate order: i, f, g, o (torch convention)
+    b_ih: jax.Array
+    w_hh: jax.Array  # (H, 4H)
+    b_hh: jax.Array
+
+
+def lstm_init(key: jax.Array, dim_in: int, dim_h: int,
+              dtype=jnp.float32) -> LSTMParams:
+    k1, k2 = jax.random.split(key)
+    s = 1.0 / jnp.sqrt(dim_h)
+    return LSTMParams(
+        w_ih=jax.random.uniform(k1, (dim_in, 4 * dim_h), dtype, -s, s),
+        b_ih=jnp.zeros((4 * dim_h,), dtype),
+        w_hh=jax.random.uniform(k2, (dim_h, 4 * dim_h), dtype, -s, s),
+        b_hh=jnp.zeros((4 * dim_h,), dtype),
+    )
+
+
+def lstm_scan(params: LSTMParams, x: jax.Array,
+              h0: jax.Array | None = None,
+              c0: jax.Array | None = None) -> jax.Array:
+    """Run an LSTM over (B, T, D) -> all hidden states (B, T, H)."""
+    batch, seq_len, _ = x.shape
+    dim_h = params.w_hh.shape[0]
+    if h0 is None:
+        h0 = jnp.zeros((batch, dim_h), x.dtype)
+    if c0 is None:
+        c0 = jnp.zeros((batch, dim_h), x.dtype)
+
+    x_proj = (x.reshape(batch * seq_len, -1) @ params.w_ih + params.b_ih)
+    x_proj = x_proj.reshape(batch, seq_len, 4 * dim_h)
+
+    def step(carry, xp):
+        h, c = carry
+        gates = xp + h @ params.w_hh + params.b_hh
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+        return (h_new, c_new), h_new
+
+    _, states = jax.lax.scan(step, (h0, c0), jnp.swapaxes(x_proj, 0, 1))
+    return jnp.swapaxes(states, 0, 1)

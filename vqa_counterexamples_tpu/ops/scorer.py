@@ -1,0 +1,147 @@
+"""Batched candidate scoring for NeuralCX.
+
+The reference loops over the 24 candidates in Python, each iteration building a
+14089-d concat and pushing it through the MLP (``vqa/models/cx.py:289-331``).
+Here the whole candidate axis is one batched GEMM, and the first layer is
+algebraically decomposed so work that is constant across candidates is done
+once per example:
+
+    concat([s_1..s_m, c_1..c_n]) @ W  ==  sum_i s_i @ W_si  +  sum_j c_j @ W_cj
+
+* static features (v_orig, q_emb, z_orig, a_emb_gt): one (B, 7208) GEMM,
+  broadcast over candidates;
+* the one-hot rank feature's GEMM is the identity: its contribution is just a
+  row of W, added as a (K, H) broadcast;
+* the scalar v_dist feature is a rank-1 outer product;
+* per-candidate features (v_other, v_mult, z_other, a_emb_other): a single
+  (B*K, 6856) GEMM.
+
+This turns 24 small launches into 2 large MXU-friendly ones and cuts first-layer
+FLOPs ~1.9x (the static half of W is applied once, not 24 times).
+
+Weights are stored exactly as one (14089, H) matrix (checkpoint-compatible with
+a straightforward port of the reference layout); slicing below is static so XLA
+constant-folds it.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class FeatureSlices(NamedTuple):
+    """Column offsets of each feature block inside the fused first-layer weight.
+
+    Order matches the reference concat (cx.py:309-320):
+    v_orig, v_other, v_mult, v_dist, v_rank, q_emb, z_orig, z_other,
+    a_emb_gt, a_emb_other.
+    """
+    dim_v: int
+    dim_q: int
+    dim_z: int
+    dim_a: int
+    knn_size: int
+
+    @property
+    def input_size(self) -> int:
+        return (3 * self.dim_v + 1 + self.knn_size + self.dim_q
+                + 2 * self.dim_z + 2 * self.dim_a)
+
+    def offsets(self):
+        sizes = [self.dim_v, self.dim_v, self.dim_v, 1, self.knn_size,
+                 self.dim_q, self.dim_z, self.dim_z, self.dim_a, self.dim_a]
+        names = ["v_orig", "v_other", "v_mult", "v_dist", "v_rank",
+                 "q_emb", "z_orig", "z_other", "a_emb_gt", "a_emb_other"]
+        out, off = {}, 0
+        for name, size in zip(names, sizes):
+            out[name] = (off, off + size)
+            off += size
+        return out
+
+
+def first_layer_decomposed(w1: jax.Array, b1: jax.Array,
+                           slices: FeatureSlices,
+                           v_orig: jax.Array, v_knns: jax.Array,
+                           v_mult: jax.Array, v_dist: jax.Array,
+                           v_rank: jax.Array,
+                           q_emb: jax.Array, z_orig: jax.Array,
+                           z_knns: jax.Array, a_emb_gt: jax.Array,
+                           a_emb_knns: jax.Array) -> jax.Array:
+    """Pre-activation of linear_1 for all candidates at once.
+
+    Shapes: v_orig (B,Dv); v_knns/v_mult (B,K,Dv); v_dist (B,K);
+    v_rank (B,K,K); q_emb (B,Dq); z_orig (B,Dz); z_knns (B,K,Dz);
+    a_emb_gt (B,Da); a_emb_knns (B,K,Da).  Returns (B, K, H).
+    """
+    offs = slices.offsets()
+
+    def wslice(name):
+        lo, hi = offs[name]
+        return w1[lo:hi]
+
+    # Static-across-candidates half: one GEMM on the concatenated block.
+    w_static = jnp.concatenate(
+        [wslice("v_orig"), wslice("q_emb"), wslice("z_orig"),
+         wslice("a_emb_gt")], axis=0)
+    x_static = jnp.concatenate([v_orig, q_emb, z_orig, a_emb_gt], axis=-1)
+    h_static = x_static @ w_static  # (B, H)
+
+    # Per-candidate half: one GEMM over the flattened (B*K) axis.
+    w_cand = jnp.concatenate(
+        [wslice("v_other"), wslice("v_mult"), wslice("z_other"),
+         wslice("a_emb_other")], axis=0)
+    x_cand = jnp.concatenate([v_knns, v_mult, z_knns, a_emb_knns], axis=-1)
+    h_cand = x_cand @ w_cand  # (B, K, H)
+
+    # Rank one-hot: identity GEMM == per-candidate rows of W (or a dense GEMM
+    # for the lesion case where v_rank is random instead of one-hot).
+    h_rank = jnp.einsum("bkr,rh->bkh", v_rank, wslice("v_rank"))
+
+    # Scalar distance feature: rank-1 outer product.
+    h_dist = v_dist[..., None] * wslice("v_dist")[0][None, None, :]
+
+    return h_static[:, None, :] + h_cand + h_rank + h_dist + b1
+
+
+def mlp_tail(h: jax.Array, hidden_ws, hidden_bs, w_out: jax.Array,
+             b_out: jax.Array, *, drop_p: float, deterministic: bool,
+             rng: jax.Array | None) -> jax.Array:
+    """ReLU+dropout stack over (B, K, H) then the scalar head -> (B, K).
+
+    ``h`` is the pre-activation of linear_1; layers 2..n use ``hidden_ws``.
+    Dropout placement matches the reference: after every ReLU (cx.py:322-326).
+    """
+    def drop(x, key):
+        if deterministic or drop_p == 0.0:
+            return x
+        keep = jax.random.bernoulli(key, 1.0 - drop_p, x.shape)
+        return jnp.where(keep, x / (1.0 - drop_p), 0.0)
+
+    n_drops = 1 + len(hidden_ws)
+    keys = (jax.random.split(rng, n_drops) if rng is not None
+            else [None] * n_drops)
+
+    h = drop(jax.nn.relu(h), keys[0])
+    for i, (w, b) in enumerate(zip(hidden_ws, hidden_bs)):
+        h = drop(jax.nn.relu(h @ w + b), keys[i + 1])
+    return (h @ w_out + b_out)[..., 0]
+
+
+def naive_concat_first_layer(w1, b1, slices: FeatureSlices, **feats):
+    """Reference-faithful concat path, used as the test oracle for the
+    decomposed kernel (and by the lesion tests)."""
+    B, K = feats["v_knns"].shape[:2]
+
+    def tile(x):  # (B, D) -> (B, K, D)
+        return jnp.broadcast_to(x[:, None, :], (B, K, x.shape[-1]))
+
+    x = jnp.concatenate([
+        tile(feats["v_orig"]), feats["v_knns"], feats["v_mult"],
+        feats["v_dist"][..., None], feats["v_rank"], tile(feats["q_emb"]),
+        tile(feats["z_orig"]), feats["z_knns"], tile(feats["a_emb_gt"]),
+        feats["a_emb_knns"]], axis=-1)
+    assert x.shape[-1] == slices.input_size
+    return x @ w1 + b1
