@@ -2,14 +2,19 @@
 
 This is the TPU-world equivalent of a fake cluster (SURVEY.md section 4):
 multi-device sharding tests execute on host CPU devices, so the suite runs
-anywhere.  Must set the env vars before jax initializes.
+anywhere.  The session presets JAX_PLATFORMS=axon and a sitecustomize that
+registers the TPU plugin at interpreter start, so the env var alone is too
+late — force the platform through jax.config before any backend initializes.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
-os.environ.setdefault("JAX_ENABLE_X64", "0")
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
