@@ -1,0 +1,352 @@
+"""CX training/eval CLI — the main entry point.
+
+Mirrors the reference driver (``counterexamples.py:39-389``): same flags
+(--cx_model, --epochs, --test, --viz, --pairwise, --pretrained_vqa/
+--untrained_vqa, --trainable_vqa, --sb_lambda, --dev_mode, --resume/--best,
+--path_opt, lr/bs overrides), same run-dir layout (logs/cx/<run>/{ckpt,best}),
+same metrics.  Additional ``--synthetic N`` flag runs the full pipeline on
+generated data (no COCO required) — the smoke path.
+
+Usage:
+    python -m vqa_counterexamples_tpu.cli.counterexamples \
+        --cx_model NeuralModel --epochs 20 [--test] [--synthetic 2048]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pickle
+import random
+from datetime import datetime
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--path_opt",
+                        default="configs/cx/counterexamples_default.yaml",
+                        type=str, help="path to a yaml options file")
+    parser.add_argument("-cx", "--cx_model", required=True, type=str,
+                        help="Counterexample model type")
+    parser.add_argument("-lr", "--learning_rate", type=float,
+                        help="initial learning rate")
+    parser.add_argument("-lb", "--sb_lambda", type=float,
+                        help="semantic baseline lambda")
+    parser.add_argument("-b", "--batch_size", type=int, help="mini-batch size")
+    parser.add_argument("--epochs", type=int,
+                        help="number of total epochs to run")
+    parser.add_argument("--project_dir", default=".", type=str,
+                        help="path to project root whose data to use")
+    parser.add_argument("--resume", default="", type=str,
+                        help="run name to resume")
+    parser.add_argument("--best", action="store_true",
+                        help="whether to resume best checkpoint")
+    parser.add_argument("-c", "--comment", type=str, default="")
+    parser.add_argument("-p", "--print_freq", default=100, type=int)
+    parser.add_argument("-v", "--eval_freq", default=-1, type=int)
+    parser.add_argument("-t", "--test", action="store_true",
+                        help="Run eval on full testset after training")
+    parser.add_argument("--viz", action="store_true",
+                        help="Run viz on valset after training")
+    parser.add_argument("--pairwise", action="store_true",
+                        help="Pairwise training")
+    group = parser.add_mutually_exclusive_group(required=False)
+    group.add_argument("--pretrained_vqa", dest="pretrained_vqa",
+                       action="store_true")
+    group.add_argument("--untrained_vqa", dest="pretrained_vqa",
+                       action="store_false")
+    parser.set_defaults(pretrained_vqa=True)
+    parser.add_argument("--trainable_vqa", action="store_true",
+                        help="If true, backprop through VQA model")
+    parser.add_argument("-dev", "--dev_mode", action="store_true")
+    parser.add_argument("--synthetic", type=int, default=0, metavar="N",
+                        help="run on N synthetic examples instead of COCO")
+    parser.add_argument("--seed", type=int, default=42)
+    return parser
+
+
+def load_real_data(options, args):
+    """Pickled augmented sets + KNN json + HDF5 features
+    (reference counterexamples.py:178-207)."""
+    from ..data import vqacx
+    from ..data.features import FeatureStore
+
+    base = os.path.join(options["vqa"]["path_trainset"], "pickle")
+    train_name = ("trainset_augmented_small.pickle" if args.dev_mode
+                  else "trainset_augmented.pickle")
+    trainset = vqacx.load_dataset(os.path.join(base, train_name))
+    valset = vqacx.load_dataset(
+        os.path.join(base, "valset_augmented_small.pickle"))
+    testset = None
+    if args.test:
+        testset = vqacx.load_dataset(
+            os.path.join(base, "valset_augmented.pickle"))
+
+    feats = options["coco"]["path_features"]
+    features_train = FeatureStore.load(os.path.join(feats, "trainset"))
+    features_val = FeatureStore.load(os.path.join(feats, "valset"))
+    return trainset, valset, testset, features_train, features_val
+
+
+def load_synthetic_data(args, n_examples):
+    from ..data import synthetic
+
+    trainset, store = synthetic.make_synthetic_cx(
+        n_examples=n_examples, n_images=max(128, n_examples // 4),
+        dim_v=2048, knn_size=24, n_answers=100, seed=args.seed, split="train")
+    valset, val_store = synthetic.make_synthetic_cx(
+        n_examples=max(n_examples // 4, 64),
+        n_images=max(128, n_examples // 8), dim_v=2048, knn_size=24,
+        n_answers=100, seed=args.seed + 1, split="val")
+    # synthetic shares one answer/word vocab
+    valset["vocab_words"] = trainset["vocab_words"]
+    valset["vocab_answers"] = trainset["vocab_answers"]
+    return trainset, valset, valset, store, val_store
+
+
+def main(argv=None):
+    import jax.numpy as jnp
+    import optax
+
+    from ..core import checkpoint as ckpt_lib
+    from ..core import config as config_lib
+    from ..core.experiment import ScalarWriter
+    from ..data import vqacx
+    from ..engines import cx_engine
+    from ..models import factory
+    from ..models.cx import init_answer_embedding
+
+    args = build_parser().parse_args(argv)
+
+    # ---- options (CLI non-None > YAML > defaults; reference :100-114) ----
+    cli_overrides = {
+        "optim": {"lr": args.learning_rate, "batch_size": args.batch_size,
+                  "epochs": args.epochs},
+        "cx_model": {"pretrained_vqa": args.pretrained_vqa,
+                     "trainable_vqa": args.trainable_vqa},
+    }
+    options = config_lib.resolve_options({}, args.path_opt, cli_overrides)
+    options["vgenome"] = None
+
+    random.seed(args.seed)
+    np.random.seed(args.seed)
+
+    # ---- run-dir bookkeeping (reference :126-172) ----
+    if args.cx_model == "NeuralModel" and not args.comment:
+        args.comment = options["cx_model"]["name"]
+    if args.resume:
+        run_name = args.resume
+        save_dir = os.path.join(args.project_dir, "logs", "cx", run_name)
+        assert os.path.isdir(save_dir), save_dir
+    else:
+        run_name = datetime.now().strftime("%b%d-%H-%M-%S")
+        if args.comment:
+            run_name += "_" + args.comment
+        save_dir = os.path.join(args.project_dir, "logs", "cx", run_name)
+        os.makedirs(os.path.join(save_dir, "ckpt"), exist_ok=True)
+        os.makedirs(os.path.join(save_dir, "best"), exist_ok=True)
+    log_dir = os.path.join(args.project_dir, "runs", run_name)
+    train_writer = ScalarWriter(os.path.join(log_dir, "train"))
+    val_writer = ScalarWriter(os.path.join(log_dir, "val"))
+    config_lib.save_options(options, save_dir)
+    print("Saving model to {}".format(save_dir))
+
+    # ---- data ----
+    print("=> Loading VQA-CX dataset...")
+    if args.synthetic:
+        trainset, valset, testset, f_train, f_val = load_synthetic_data(
+            args, args.synthetic)
+    else:
+        trainset, valset, testset, f_train, f_val = load_real_data(
+            options, args)
+
+    train_arrays = vqacx.CXArrays.from_examples(trainset["examples_list"],
+                                                f_train.name_to_index)
+    val_arrays = vqacx.CXArrays.from_examples(valset["examples_list"],
+                                              f_val.name_to_index)
+    features_train = f_train.to_device()
+    features_val = f_val.to_device()
+
+    # ---- model (reference :212-278) ----
+    print("=> Building model...")
+    vqa_model = None
+    optimizer = None
+    extra_args = ()
+    knn_size = train_arrays.knn_size
+    trainable_vqa = options["cx_model"]["trainable_vqa"]
+
+    if args.cx_model in ("RandomBaseline", "DistanceBaseline"):
+        cx_model = factory.factory_cx(args.cx_model, None, knn_size=knn_size)
+    else:
+        vqa_model = factory.factory_vqa(options["model"],
+                                        trainset["vocab_words"],
+                                        trainset["vocab_answers"])
+        model_spec = dict(options["cx_model"])
+        if args.cx_model == "SemanticBaseline":
+            if args.sb_lambda is None:
+                raise ValueError("SemanticBaseline requires --sb_lambda")
+            cx_model = factory.factory_cx(
+                "SemanticBaseline", vqa_model, knn_size=knn_size,
+                trainable_vqa=trainable_vqa, sb_lambda=args.sb_lambda)
+            emb = _load_answer_embedding(options, args,
+                                         len(trainset["vocab_answers"]))
+            emb = np.asarray(emb, np.float32)
+            norm = np.maximum(np.linalg.norm(emb, axis=1, keepdims=True),
+                              1e-8)
+            extra_args = (jnp.asarray((emb / norm) @ (emb / norm).T),)
+        else:
+            cx_model = factory.factory_cx(
+                args.cx_model, vqa_model, knn_size=knn_size,
+                trainable_vqa=trainable_vqa, model_spec=model_spec)
+        if args.cx_model in ("NeuralModel", "LinearContext", "PairwiseModel",
+                             "PairwiseLinearModel"):
+            optimizer = optax.adam(options["optim"]["lr"])
+    print("Built {}".format(args.cx_model))
+
+    # ---- init state ----
+    batch_size = options["optim"]["batch_size"]
+    example_idx = np.arange(min(batch_size, train_arrays.size))
+    init_view = (train_arrays.pairwise_view(np.random.default_rng(0))
+                 if args.pairwise else train_arrays)
+    state = cx_engine.init_cx_state(
+        cx_model, optimizer, vqacx.gather_batch(init_view, example_idx),
+        features_train, seed=args.seed, extra_apply_args=extra_args)
+
+    # pretrained pieces grafted into the params tree
+    if vqa_model is not None and options["cx_model"].get("pretrained_vqa") \
+            and not args.synthetic:
+        state = _load_pretrained_vqa(state, options, args)
+    if (args.cx_model == "NeuralModel"
+            and options["cx_model"].get("pretrained_emb")
+            and not args.synthetic):
+        emb = _load_answer_embedding(options, args,
+                                     len(trainset["vocab_answers"]))
+        params = dict(state.params)
+        params = init_answer_embedding(params, emb)
+        state = state._replace(params=params)
+
+    info = []
+    start_epoch = 1
+    best_recall = 0.0
+    if args.resume:
+        state, info, start_epoch, best_recall = ckpt_lib.load_cx_checkpoint(
+            state, save_dir, resume_best=args.best)
+
+    # ---- engines ----
+    train_step = (cx_engine.make_cx_train_step(
+        cx_model, optimizer, recall_k=1 if args.pairwise else 5,
+        base_seed=args.seed, extra_apply_args=extra_args)
+        if optimizer is not None else None)
+    eval_step = cx_engine.make_cx_eval_step(cx_model, recall_k=5,
+                                            extra_apply_args=extra_args)
+
+    def run_eval(st):
+        return cx_engine.eval_model(
+            eval_step, st.params, features_val, val_arrays, batch_size,
+            pairwise=args.pairwise, pairwise_eval_step=eval_step,
+            rng=np.random.default_rng(123))
+
+    # ---- train loop (reference :293-371) ----
+    print("=> Starting training...")
+    if args.pairwise:
+        print("==> Pairwise training")
+    rng = np.random.default_rng(args.seed)
+    eval_results = None
+    epoch = None
+    for epoch in range(start_epoch, options["optim"]["epochs"] + 1):
+        if train_step is not None:
+            def log_fn(b, metrics, _epoch=epoch):
+                step = (_epoch - 1) * 10000 + b
+                for k, v in metrics.items():
+                    train_writer.add_scalar(k, v, step)
+                print("Epoch {} train: {}".format(
+                    _epoch, {k: round(v, 4) for k, v in metrics.items()}))
+
+            state, eval_results = cx_engine.train_epoch(
+                train_step, state, features_train, train_arrays, batch_size,
+                pairwise=args.pairwise, rng=rng, log_fn=log_fn,
+                print_freq=args.print_freq,
+                eval_fn=run_eval, eval_freq=args.eval_freq)
+        else:
+            eval_results = run_eval(state)
+        for k, v in eval_results.items():
+            val_writer.add_scalar(k, v, epoch)
+        print("Epoch {} val: {}".format(
+            epoch, {k: round(float(v), 4) for k, v in eval_results.items()}))
+
+        info.append({k: float(v) for k, v in eval_results.items()})
+        is_best = info[-1]["recall"] > best_recall
+        if is_best:
+            best_recall = info[-1]["recall"]
+        ckpt_lib.save_cx_checkpoint(state, info, save_dir, is_best=is_best)
+        print("{}Saved checkpoint to {}".format("* " if is_best else "",
+                                                save_dir))
+
+    # ---- final test (reference :373-386) ----
+    if args.test or args.viz:
+        if epoch is not None and optimizer is not None:
+            state, _, best_epoch, _ = ckpt_lib.load_cx_checkpoint(
+                state, save_dir, resume_best=True)
+        else:
+            best_epoch = 0
+    if args.test:
+        test_arrays = vqacx.CXArrays.from_examples(
+            testset["examples_list"], f_val.name_to_index)
+        test_results = cx_engine.eval_model(
+            eval_step, state.params, features_val, test_arrays, batch_size,
+            pairwise=args.pairwise, pairwise_eval_step=eval_step,
+            rng=np.random.default_rng(123))
+        test_results = {k: float(v) for k, v in test_results.items()}
+        test_results["best_epoch"] = best_epoch
+        with open(os.path.join(save_dir, "final_results.txt"), "w") as f:
+            f.write(json.dumps(test_results))
+        print("FINAL RESULTS ON BEST EPOCH {}".format(best_epoch),
+              test_results)
+    if args.viz:
+        from ..viz import grids
+        viz_dir = os.path.join(args.project_dir, "viz", "cx", run_name)
+        os.makedirs(viz_dir, exist_ok=True)
+        grids.visualize_results(
+            cx_model, state, valset, val_arrays, features_val, eval_step,
+            num_images=min(200, val_arrays.size),
+            datadir=options["coco"].get("path_val_raw"), viz_dir=viz_dir,
+            extra_apply_args=extra_args)
+    train_writer.close()
+    val_writer.close()
+    return info
+
+
+def _load_pretrained_vqa(state, options, args):
+    """Graft a pretrained VQA checkpoint under the cx params' vqa_model key
+    (reference counterexamples.py:226-228 -> train.py:332)."""
+    from ..core import checkpoint as ckpt_lib
+
+    path = os.path.join(options["logs"]["dir_logs"], "best")
+    params = dict(state.params)
+    if "vqa_model" not in params:
+        print("Warning: cx model has no vqa_model params to load into")
+        return state
+    _, vqa_params, _ = ckpt_lib.load_vqa_checkpoint(params["vqa_model"], None,
+                                                    path)
+    if vqa_params is not None:
+        params["vqa_model"] = vqa_params
+        state = state._replace(params=params)
+        print("Loaded pretrained VQA model from {}".format(path))
+    return state
+
+
+def _load_answer_embedding(options, args, n_answers):
+    if args.synthetic:
+        return np.random.default_rng(0).normal(
+            size=(n_answers, 2400)).astype(np.float32)
+    path = os.path.join(options["vqa"]["path_trainset"],
+                        "answer_embedding.pickle")
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,66 @@
+"""kNN builder CLI (reference ``knn.py``).
+
+Fits exact k=25 nearest neighbors over the extracted `noatt` feature matrix
+with the sharded brute-force matmul top-k (ops/topk.py) instead of sklearn's
+CPU ball-tree, and writes:
+
+* ``knn_results.npy`` — {'indices', 'distances'} (the reference's artifact,
+  knn.py:55-58), and
+* optionally ``--json-out`` — the VQA-distributed KNN format consumed by the
+  dataset builders: {image_id: [24 neighbor image_ids]} (trainset builder
+  cell 11).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--path_features", required=True, type=str,
+                        help="prefix of {prefix}.hdf5/.npy + {prefix}.txt")
+    parser.add_argument("--dataset", default="noatt", type=str)
+    parser.add_argument("-k", "--n_neighbors", default=25, type=int)
+    parser.add_argument("-b", "--batch_size", default=1024, type=int)
+    parser.add_argument("--out", default=None, type=str,
+                        help="output .npy path (default: alongside features)")
+    parser.add_argument("--json-out", default=None, type=str,
+                        help="also write VQA-format {image_id: [ids]} json")
+    parser.add_argument("--split", default="train",
+                        choices=["train", "val"])
+    args = parser.parse_args(argv)
+
+    from ..data.features import FeatureStore
+    from ..data.vqacx import coco_name_to_num
+    from ..ops import topk
+
+    store = FeatureStore.load(args.path_features, dataset=args.dataset)
+    print("Loaded %d features of dim %d" % store.features.shape)
+
+    dist, idx = topk.knn(store.features, k=args.n_neighbors,
+                         batch_size=args.batch_size)
+
+    out = args.out or (args.path_features + "_knn_results.npy")
+    np.save(out, {"indices": idx, "distances": dist})
+    print("Saved KNN results to", out)
+
+    if args.json_out:
+        table = {}
+        for row, name in enumerate(store.names):
+            img_id = coco_name_to_num(name)
+            # drop self (rank 0) and keep k-1 neighbors as image ids
+            neigh = [coco_name_to_num(store.names[j])
+                     for j in idx[row] if j != row][:args.n_neighbors - 1]
+            table[str(img_id)] = neigh
+        with open(args.json_out, "w") as f:
+            json.dump(table, f)
+        print("Saved VQA-format KNN json to", args.json_out)
+
+
+if __name__ == "__main__":
+    main()

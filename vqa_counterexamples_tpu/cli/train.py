@@ -1,0 +1,231 @@
+"""VQA pretraining CLI (reference ``train.py``).
+
+Trains MUTAN/MLB VQA classifiers on VQA/VQA2 processed data; per-epoch
+validation with acc@1/acc@5 + OpenEnded result rows; checkpoint policy with
+best-tracking (or keep-all-from-epoch); Experiment JSON logging.
+
+Usage:
+    python -m vqa_counterexamples_tpu.cli.train \
+        --path_opt configs/vqa2/mutan_noatt_train.yaml [--synthetic N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+
+def build_parser():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--path_opt",
+                        default="configs/vqa2/mutan_noatt_train.yaml")
+    parser.add_argument("--dir_logs", type=str, help="dir logs override")
+    parser.add_argument("-lr", "--learning_rate", type=float)
+    parser.add_argument("-b", "--batch_size", type=int)
+    parser.add_argument("--epochs", type=int)
+    parser.add_argument("--start_epoch", default=1, type=int)
+    parser.add_argument("--resume", default="", type=str,
+                        help="best | ckpt (resume from dir_logs)")
+    parser.add_argument("--save_model", default=True, type=bool)
+    parser.add_argument("--save_all_from", type=int,
+                        help="keep all checkpoints from this epoch on")
+    parser.add_argument("-e", "--evaluate", action="store_true",
+                        help="evaluate only")
+    parser.add_argument("-p", "--print_freq", default=10, type=int)
+    parser.add_argument("--synthetic", type=int, default=0, metavar="N")
+    parser.add_argument("--seed", type=int, default=42)
+    return parser
+
+
+def _synthetic_vqa(n, options, seed):
+    """Synthetic processed-like examples + features for smoke runs."""
+    from ..data import synthetic
+    from ..data.features import FeatureStore
+
+    rng = np.random.default_rng(seed)
+    nans = min(options["vqa"]["nans"], 50)
+    maxlength = options["vqa"]["maxlength"]
+    n_words = 80
+    n_images = max(64, n // 4)
+    dim_v = options["model"]["fusion"]["dim_v"]
+    feats = rng.normal(size=(n_images, dim_v)).astype(np.float32)
+    names = ["COCO_train2014_%012d.jpg" % i for i in range(n_images)]
+    store = FeatureStore(feats, names)
+    vocab_words, vocab_answers = synthetic.synthetic_vocab(n_words, nans)
+    examples = []
+    for i in range(n):
+        qlen = int(rng.integers(3, 10))
+        wids = [0] * maxlength
+        for k in range(qlen):
+            wids[k] = int(rng.integers(1, n_words + 1))
+        aid = int(rng.integers(0, nans))
+        examples.append({
+            "question_id": i, "image_name": names[int(rng.integers(0, n_images))],
+            "question_wids": wids, "answer_aid": aid,
+            "answers_aid": [aid], "answers_count": [10],
+        })
+    return examples, store, vocab_words, vocab_answers
+
+
+def main(argv=None):
+    import optax
+
+    from ..core import checkpoint as ckpt_lib
+    from ..core import config as config_lib
+    from ..core.experiment import Experiment
+    from ..core.meters import AvgMeter, SumMeter, ValueMeter
+    from ..data.vqa_dataset import VQAArrays
+    from ..engines import vqa_engine
+    from ..models import factory
+
+    args = build_parser().parse_args(argv)
+    options = config_lib.resolve_options({}, args.path_opt, {
+        "logs": {"dir_logs": args.dir_logs},
+        "optim": {"lr": args.learning_rate, "batch_size": args.batch_size,
+                  "epochs": args.epochs},
+    })
+    dir_logs = options["logs"]["dir_logs"]
+    os.makedirs(dir_logs, exist_ok=True)
+    config_lib.save_options(options, dir_logs)
+
+    # ---- data ----
+    print("=> Loading dataset...")
+    if args.synthetic:
+        train_ex, store, vocab_words, vocab_answers = _synthetic_vqa(
+            args.synthetic, options, args.seed)
+        val_ex, val_store = train_ex, store
+    else:
+        import pickle
+        from ..core.config import options_subdir
+        from ..data.features import FeatureStore
+
+        processed = os.path.join(options["vqa"]["dir"], "processed",
+                                 options_subdir(options["vqa"]))
+        split = ("trainvalset"
+                 if options["vqa"]["trainsplit"] == "trainval"
+                 else "trainset")
+        with open(os.path.join(processed, split + ".pickle"), "rb") as f:
+            train_ex = pickle.load(f)
+        with open(os.path.join(processed, "valset.pickle"), "rb") as f:
+            val_ex = pickle.load(f)
+        with open(os.path.join(processed, "wid_to_word.pickle"), "rb") as f:
+            wid_to_word = pickle.load(f)
+        vocab_words = [wid_to_word[i] for i in sorted(wid_to_word)]
+        with open(os.path.join(processed, "aid_to_ans.pickle"), "rb") as f:
+            vocab_answers = pickle.load(f)
+        feats_dir = os.path.join(
+            options["coco"]["dir"], "extract",
+            "arch,%s_size,%d" % (options["coco"]["arch"],
+                                 options["coco"].get("size", 448)))
+        store = FeatureStore.load(os.path.join(feats_dir, "trainset"),
+                                  dataset=options["coco"]["mode"])
+        val_store = FeatureStore.load(os.path.join(feats_dir, "valset"),
+                                      dataset=options["coco"]["mode"])
+
+    train_arrays = VQAArrays(train_ex, store,
+                             samplingans=options["vqa"].get("samplingans",
+                                                            False))
+    val_arrays = VQAArrays(val_ex, val_store, samplingans=False)
+    device_features = store.to_device() \
+        if options["coco"]["mode"] == "noatt" else None
+    val_device_features = val_store.to_device() \
+        if options["coco"]["mode"] == "noatt" else None
+
+    # ---- model/optim ----
+    print("=> Building model...")
+    model = factory.factory_vqa(options["model"], vocab_words, vocab_answers)
+    optimizer = optax.adam(options["optim"]["lr"])
+    rng = np.random.default_rng(args.seed)
+    example = next(train_arrays.batches(
+        min(options["optim"]["batch_size"], train_arrays.size),
+        shuffle=False, device_features=device_features))
+    state = vqa_engine.init_vqa_state(model, optimizer, example,
+                                      seed=args.seed)
+
+    exp = Experiment(os.path.basename(dir_logs), options=dict(options))
+    meter_set = lambda: {"loss": AvgMeter(), "acc1": AvgMeter(),
+                         "acc5": AvgMeter(), "batch_time": AvgMeter(),
+                         "data_time": AvgMeter(), "epoch_time": SumMeter(),
+                         "best_epoch": ValueMeter(), "best_acc1": ValueMeter()}
+    exp.add_meters("train", meter_set())
+    exp.add_meters("val", meter_set())
+
+    best_acc1 = 0.0
+    start_epoch = args.start_epoch
+    if args.resume:
+        sub = "best" if args.resume == "best" else ""
+        info, model_state, optim_state = ckpt_lib.load_vqa_checkpoint(
+            state.params, state.opt_state, os.path.join(dir_logs, sub)
+            if sub else dir_logs)
+        if model_state is not None:
+            state = state._replace(params=model_state)
+        if optim_state is not None:
+            state = state._replace(opt_state=optim_state)
+        start_epoch = int(info.get("epoch", 0)) + 1
+        best_acc1 = float(info.get("best_acc1", 0.0))
+
+    train_step = vqa_engine.make_vqa_train_step(model, optimizer,
+                                                base_seed=args.seed)
+    eval_step = vqa_engine.make_vqa_eval_step(model)
+
+    def val_loader():
+        return val_arrays.batches(options["optim"]["batch_size"],
+                                  shuffle=False, drop_remainder=True,
+                                  device_features=val_device_features)
+
+    if args.evaluate:
+        res, rows = vqa_engine.validate(eval_step, state.params, val_loader(),
+                                        exp, 0, aid_to_ans=vocab_answers,
+                                        collect_results=True)
+        print("Evaluate:", res)
+        _save_results(rows, 0, dir_logs, "val")
+        return res
+
+    # ---- epochs ----
+    for epoch in range(start_epoch, options["optim"]["epochs"] + 1):
+        def train_loader():
+            return train_arrays.batches(
+                options["optim"]["batch_size"], shuffle=True, rng=rng,
+                drop_remainder=True, device_features=device_features)
+
+        state = vqa_engine.train_epoch(train_step, state, train_loader(),
+                                       exp, epoch,
+                                       print_freq=args.print_freq)
+        res, rows = vqa_engine.validate(eval_step, state.params, val_loader(),
+                                        exp, epoch,
+                                        aid_to_ans=vocab_answers,
+                                        collect_results=True)
+        print("Epoch {} val: {}".format(epoch, res))
+
+        is_best = res["acc1"] > best_acc1
+        best_acc1 = max(res["acc1"], best_acc1)
+        exp.get_meter("val", "best_epoch").update(
+            epoch if is_best else exp.get_meter("val", "best_epoch").value())
+        exp.get_meter("val", "best_acc1").update(best_acc1)
+        exp.to_json(os.path.join(dir_logs, "logger.json"))
+        ckpt_lib.save_vqa_checkpoint(
+            {"epoch": epoch, "best_acc1": best_acc1,
+             "acc1": res["acc1"], "acc5": res["acc5"]},
+            state.params, state.opt_state, dir_logs,
+            save_model=args.save_model, save_all_from=args.save_all_from,
+            is_best=is_best)
+        _save_results(rows, epoch, dir_logs, "val")
+    return state
+
+
+def _save_results(rows, epoch, dir_logs, split):
+    """OpenEnded result rows (reference train.py:276-288); scored in-repo by
+    cli/eval_res.py instead of the python2 toolkit."""
+    results_dir = os.path.join(dir_logs, "results", split)
+    os.makedirs(results_dir, exist_ok=True)
+    path = os.path.join(results_dir,
+                        "vqa_OpenEnded_mscoco_epoch_%d.json" % epoch)
+    with open(path, "w") as f:
+        json.dump(rows, f)
+
+
+if __name__ == "__main__":
+    main()

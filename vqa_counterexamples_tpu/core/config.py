@@ -50,12 +50,31 @@ def load_yaml(path: str) -> dict:
         return yaml.safe_load(handle)
 
 
+def load_options_file(path: str) -> dict:
+    """Load a YAML option tree, resolving ``base:`` includes recursively.
+
+    A config may name a ``base`` file (relative to its own directory); the
+    base is loaded first and the file's own keys are deep-merged on top.
+    This keeps ablation configs to their deltas (the reference ships 19 fully
+    expanded CX YAMLs, options/cx/*.yaml — same resolved trees here).
+    """
+    tree = load_yaml(path)
+    base_name = tree.pop("base", None)
+    if base_name is None:
+        return tree
+    base_path = os.path.join(os.path.dirname(os.path.abspath(path)),
+                             base_name)
+    options = load_options_file(base_path)
+    update_values(tree, options)
+    return options
+
+
 def resolve_options(defaults: dict, yaml_path: str | None = None,
                     cli_overrides: dict | None = None) -> dict:
     """defaults <- yaml <- cli(non-None), returning a fresh dict."""
     options = copy.deepcopy(defaults)
     if yaml_path:
-        update_values(load_yaml(yaml_path), options)
+        update_values(load_options_file(yaml_path), options)
     if cli_overrides:
         update_values(cli_overrides, options)
     return options

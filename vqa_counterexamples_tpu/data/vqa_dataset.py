@@ -1,0 +1,93 @@
+"""VQA classification dataset: processed examples + feature store -> batches.
+
+Replaces the reference dataset/loader stack (``vqa/datasets/vqa.py`` +
+``vqa/lib/dataloader.py`` worker processes) with a vectorized host pipeline:
+all question/answer tensors are precomputed as int32 arrays once, visual
+features are gathered on device by row index inside the jitted step (noatt)
+or prefetched per batch (att maps).  ``samplingans=True`` draws the train
+answer from the 10 human answers weighted by occurrence count
+(reference vqa.py:62-76).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+
+from .features import FeatureStore
+
+
+class VQAArrays:
+    def __init__(self, examples: list, store: FeatureStore,
+                 samplingans: bool = False):
+        self.examples = examples
+        self.store = store
+        self.samplingans = samplingans
+        n = len(examples)
+        maxlength = len(examples[0]["question_wids"])
+        self.question_wids = np.empty((n, maxlength), dtype=np.int32)
+        self.answer_aids = np.empty((n,), dtype=np.int32)
+        self.image_rows = np.empty((n,), dtype=np.int32)
+        self.question_ids = np.empty((n,), dtype=np.int64)
+        # ragged answer-occurrence lists for sampling
+        self._ans_aid: list = []
+        self._ans_p: list = []
+        for i, ex in enumerate(examples):
+            self.question_wids[i] = ex["question_wids"]
+            self.answer_aids[i] = ex.get("answer_aid", 0)
+            self.image_rows[i] = store.name_to_index[ex["image_name"]]
+            self.question_ids[i] = ex["question_id"]
+            if samplingans and ex.get("answers_aid"):
+                counts = np.asarray(ex["answers_count"], dtype=np.float64)
+                self._ans_aid.append(np.asarray(ex["answers_aid"],
+                                                dtype=np.int32))
+                self._ans_p.append(counts / counts.sum())
+            else:
+                self._ans_aid.append(None)
+                self._ans_p.append(None)
+
+    @property
+    def size(self) -> int:
+        return self.question_wids.shape[0]
+
+    def sample_answers(self, idx: np.ndarray,
+                       rng: np.random.Generator) -> np.ndarray:
+        out = self.answer_aids[idx].copy()
+        if self.samplingans:
+            for j, i in enumerate(idx):
+                if self._ans_aid[i] is not None:
+                    out[j] = rng.choice(self._ans_aid[i], p=self._ans_p[i])
+        return out
+
+    def batches(self, batch_size: int, *, shuffle: bool = True,
+                rng: np.random.Generator | None = None,
+                drop_remainder: bool = False,
+                device_features=None) -> Iterator[dict]:
+        """Yield {visual|visual_rows, question, answer, question_id} batches.
+
+        When ``device_features`` is given (an HBM-resident jax array), the
+        batch carries row indices and the engine gathers on device; otherwise
+        the host gathers feature rows (att-map case).
+        """
+        rng = rng or np.random.default_rng()
+        order = np.arange(self.size)
+        if shuffle:
+            rng.shuffle(order)
+        for start in range(0, self.size, batch_size):
+            idx = order[start:start + batch_size]
+            if drop_remainder and idx.shape[0] < batch_size:
+                return
+            batch = {
+                "question": self.question_wids[idx],
+                "answer": self.sample_answers(idx, rng),
+                "question_id": self.question_ids[idx],
+            }
+            if device_features is not None:
+                import jax.numpy as jnp
+                batch["visual"] = jnp.take(
+                    device_features,
+                    jnp.asarray(self.image_rows[idx]), axis=0)
+            else:
+                batch["visual"] = self.store.features[self.image_rows[idx]]
+            yield batch
