@@ -1,0 +1,141 @@
+"""Feature extraction CLI (reference ``extract.py``).
+
+Runs a pretrained ResNet-152 over a directory of JPEGs (448x448, ImageNet
+normalization) and writes, per split:
+
+* ``{split}set.hdf5`` with datasets ``att`` (N, 14, 14, 2048) NHWC and
+  ``noatt`` (N, 2048) — the true spatial mean of ``att``
+  (extract.py:123-124 semantics);
+* ``{split}set.npy`` fast-path copy of ``noatt``;
+* ``{split}set.txt`` — image names in row order (the name<->index contract,
+  extract.py:148-150).
+
+Host pipeline: a thread pool decodes/resizes JPEGs while the TPU runs the
+previous batch (double buffering); the model executes in bf16 on the MXU.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+
+def build_parser():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--dir_data", default="data/coco", type=str)
+    parser.add_argument("--data_split", default="train", type=str,
+                        choices=["train", "val", "test"])
+    parser.add_argument("--arch", default="fbresnet152", type=str)
+    parser.add_argument("--mode", default="both", type=str,
+                        choices=["att", "noatt", "both"])
+    parser.add_argument("--size", default=448, type=int)
+    parser.add_argument("-b", "--batch_size", default=80, type=int)
+    parser.add_argument("--workers", default=8, type=int)
+    parser.add_argument("--weights", default=None, type=str,
+                        help="torch state_dict .pth to port (else random)")
+    parser.add_argument("--synthetic", type=int, default=0, metavar="N",
+                        help="extract N random images (smoke mode)")
+    return parser
+
+
+def main(argv=None):
+    import jax
+    import jax.numpy as jnp
+
+    from ..models import convnets
+
+    args = build_parser().parse_args(argv)
+
+    model = convnets.factory({"arch": args.arch, "pooling": False})
+    params = convnets.init_resnet(model, image_size=args.size)
+    if args.weights:
+        params = convnets.load_torch_resnet152(params, args.weights)
+        print("Ported weights from", args.weights)
+    else:
+        print("WARNING: no --weights given; extracting with random init "
+              "(smoke only)")
+
+    @jax.jit
+    def forward(batch):
+        att = model.apply({"params": params}, batch)     # (B, 14, 14, 2048)
+        noatt = jnp.mean(att, axis=(1, 2))               # true spatial mean
+        return att, noatt
+
+    # ---- enumerate inputs ----
+    if args.synthetic:
+        names = ["synthetic_%06d.jpg" % i for i in range(args.synthetic)]
+        rng = np.random.default_rng(0)
+
+        def load(name):
+            return rng.normal(size=(args.size, args.size, 3)) \
+                .astype(np.float32)
+    else:
+        from PIL import Image
+
+        subdir = {"train": "train2014", "val": "val2014",
+                  "test": "test2015"}[args.data_split]
+        img_dir = os.path.join(args.dir_data, "raw", subdir)
+        names = sorted(n for n in os.listdir(img_dir)
+                       if n.lower().endswith((".jpg", ".jpeg", ".png")))
+
+        def load(name):
+            with Image.open(os.path.join(img_dir, name)) as img:
+                return convnets.preprocess_image(img.convert("RGB"),
+                                                 args.size)
+
+    n = len(names)
+    print("Extracting %d images (%s)" % (n, args.data_split))
+    out_dir = os.path.join(args.dir_data, "extract",
+                           "arch,%s_size,%d" % (args.arch, args.size))
+    os.makedirs(out_dir, exist_ok=True)
+    prefix = os.path.join(out_dir, "%sset" % args.data_split)
+
+    import h5py
+
+    spatial = args.size // 32
+    with h5py.File(prefix + ".hdf5", "w") as h5, \
+            ThreadPoolExecutor(max_workers=args.workers) as pool:
+        ds_att = None
+        if args.mode in ("att", "both"):
+            ds_att = h5.create_dataset(
+                "att", (n, spatial, spatial, 2048), dtype="f4")
+        ds_noatt = h5.create_dataset("noatt", (n, 2048), dtype="f4")
+
+        def decode_batch(start):
+            batch_names = names[start:start + args.batch_size]
+            return np.stack(list(pool.map(load, batch_names)))
+
+        # double buffering: decode batch i+1 while the device runs batch i
+        future = pool.submit(decode_batch, 0)
+        t0 = time.time()
+        done = 0
+        for start in range(0, n, args.batch_size):
+            batch = future.result()
+            nxt = start + args.batch_size
+            if nxt < n:
+                future = pool.submit(decode_batch, nxt)
+            att, noatt = forward(jnp.asarray(batch))
+            end = start + batch.shape[0]
+            if ds_att is not None:
+                ds_att[start:end] = np.asarray(att, dtype=np.float32)
+            ds_noatt[start:end] = np.asarray(noatt, dtype=np.float32)
+            done = end
+            if (start // args.batch_size) % 10 == 0:
+                rate = done / (time.time() - t0)
+                print("  %d/%d (%.1f images/sec)" % (done, n, rate))
+        noatt_all = ds_noatt[:]
+    np.save(prefix + ".npy", noatt_all)
+    with open(prefix + ".txt", "w") as f:
+        for name in names:
+            f.write(name + "\n")
+    rate = n / (time.time() - t0)
+    print("Done: %s.{hdf5,npy,txt} (%.1f images/sec)" % (prefix, rate))
+    return prefix
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,199 @@
+"""ResNet feature extractors (fbresnet152 equivalent), TPU-native.
+
+Replaces the reference's torchvision/Cadene wrappers (``vqa/models/
+convnets.py``): a flax ResNet-v1 with bottleneck blocks, channels-last NHWC
+(XLA's native TPU conv layout), inference-mode BatchNorm (running stats are
+parameters — extraction/serving only, like the reference which never trains
+the CNN), and bf16 compute with f32 accumulation for the MXU.
+
+Head semantics reproduced exactly:
+* ``pooling=True`` applies the reference's quirky global pool
+  ``x.sum(H).sum(W) / (H + W)`` (convnets.py:48-55 — note the **H+W**
+  divisor, not H*W; used by the demo server path);
+* ``pooling=False`` returns the (B, H, W, C) feature map; the extractor then
+  takes the *true* spatial mean for `noatt` (extract.py:123-124 divides by
+  the number of regions).
+
+``load_torch_resnet152`` ports a torchvision/Torch7 state_dict
+(O,I,H,W conv -> HWIO, BN stats) so published ImageNet weights drop in.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+RESNET_DEPTHS = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3), 152: (3, 8, 36, 3)}
+
+
+class FrozenBatchNorm(nn.Module):
+    """Inference-only BN: y = (x - mean) / sqrt(var + eps) * scale + bias.
+    Stats live in params so checkpoint porting is a plain tree graft."""
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        dim = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (dim,))
+        bias = self.param("bias", nn.initializers.zeros, (dim,))
+        mean = self.param("mean", nn.initializers.zeros, (dim,))
+        var = self.param("var", nn.initializers.ones, (dim,))
+        inv = jax.lax.rsqrt(var.astype(jnp.float32) + self.eps)
+        # fold into one multiply-add (XLA fuses this into the conv epilogue)
+        w = (scale * inv).astype(x.dtype)
+        b = (bias - mean * scale * inv).astype(x.dtype)
+        return x * w + b
+
+
+class Bottleneck(nn.Module):
+    features: int
+    strides: int = 1
+    downsample: bool = False
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        residual = x
+        y = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv1")(x)
+        y = FrozenBatchNorm(name="bn1")(y)
+        y = jax.nn.relu(y)
+        y = nn.Conv(self.features, (3, 3), strides=(self.strides,) * 2,
+                    padding=((1, 1), (1, 1)), use_bias=False,
+                    dtype=self.dtype, name="conv2")(y)
+        y = FrozenBatchNorm(name="bn2")(y)
+        y = jax.nn.relu(y)
+        y = nn.Conv(self.features * 4, (1, 1), use_bias=False,
+                    dtype=self.dtype, name="conv3")(y)
+        y = FrozenBatchNorm(name="bn3")(y)
+        if self.downsample:
+            residual = nn.Conv(self.features * 4, (1, 1),
+                               strides=(self.strides,) * 2, use_bias=False,
+                               dtype=self.dtype, name="downsample_conv")(x)
+            residual = FrozenBatchNorm(name="downsample_bn")(residual)
+        return jax.nn.relu(y + residual)
+
+
+class ResNet(nn.Module):
+    """ResNet v1 trunk stopping before fc (reference forward_resnet,
+    convnets.py:38-56)."""
+    depths: Sequence[int] = RESNET_DEPTHS[152]
+    pooling: bool = False
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = x.astype(self.dtype)
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+                    use_bias=False, dtype=self.dtype, name="conv1")(x)
+        x = FrozenBatchNorm(name="bn1")(x)
+        x = jax.nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        for stage, blocks in enumerate(self.depths):
+            features = 64 * (2 ** stage)
+            strides = 1 if stage == 0 else 2
+            for block in range(blocks):
+                x = Bottleneck(features=features,
+                               strides=strides if block == 0 else 1,
+                               downsample=block == 0,
+                               dtype=self.dtype,
+                               name="layer%d_%d" % (stage + 1, block))(x)
+        if self.pooling:
+            # reference quirk: divide by (H + W), not H*W (convnets.py:48-55)
+            h, w = x.shape[1], x.shape[2]
+            x = x.sum(axis=(1, 2)) / float(h + w)
+        return x.astype(jnp.float32)
+
+
+def factory(opt: dict) -> ResNet:
+    """Name dispatch (reference convnets.factory, convnets.py:20-99).
+    fbresnet152/fbresnet152torch(ported) and resnet{50,101,152} all map to the
+    same trunk here; weights differentiate them via the porting loader."""
+    arch = opt["arch"]
+    if "152" in arch:
+        depths = RESNET_DEPTHS[152]
+    elif "101" in arch:
+        depths = RESNET_DEPTHS[101]
+    elif "50" in arch:
+        depths = RESNET_DEPTHS[50]
+    else:
+        raise ValueError("unsupported convnet arch %r" % arch)
+    return ResNet(depths=depths, pooling=bool(opt.get("pooling", False)))
+
+
+def init_resnet(model: ResNet, image_size: int = 448, seed: int = 0):
+    return model.init(jax.random.key(seed),
+                      jnp.zeros((1, image_size, image_size, 3)))["params"]
+
+
+def load_torch_resnet152(params: dict, state_dict_path: str) -> dict:
+    """Port a torchvision-format resnet152 state_dict into our param tree.
+
+    Accepts a raw ``torch.save``d state dict (tensor values); fc.* entries are
+    ignored (the trunk stops before fc, like the reference).
+    """
+    import numpy as np
+    import torch
+
+    sd = torch.load(state_dict_path, map_location="cpu",
+                    weights_only=True)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+
+    def conv(name):
+        w = sd[name + ".weight"].numpy()
+        return {"kernel": jnp.asarray(np.transpose(w, (2, 3, 1, 0)))}
+
+    def bn(name):
+        return {"scale": jnp.asarray(sd[name + ".weight"].numpy()),
+                "bias": jnp.asarray(sd[name + ".bias"].numpy()),
+                "mean": jnp.asarray(sd[name + ".running_mean"].numpy()),
+                "var": jnp.asarray(sd[name + ".running_var"].numpy())}
+
+    new = {"conv1": conv("conv1"), "bn1": bn("bn1")}
+    depths = [len([k for k in sd
+                   if k.startswith("layer%d." % s) and k.endswith(
+                       ".conv1.weight")]) for s in range(1, 5)]
+    for stage, blocks in enumerate(depths, start=1):
+        for block in range(blocks):
+            prefix = "layer%d.%d" % (stage, block)
+            ours = {}
+            for i in (1, 2, 3):
+                ours["conv%d" % i] = conv("%s.conv%d" % (prefix, i))
+                ours["bn%d" % i] = bn("%s.bn%d" % (prefix, i))
+            if "%s.downsample.0.weight" % prefix in sd:
+                ours["downsample_conv"] = conv("%s.downsample.0" % prefix)
+                ours["downsample_bn"] = bn("%s.downsample.1" % prefix)
+            new["layer%d_%d" % (stage, block)] = ours
+    # validate against the template tree
+    missing = set(params) - set(new)
+    if missing:
+        raise ValueError("port missing params: %s" % sorted(missing)[:5])
+    return new
+
+
+def preprocess_image(img, size: int = 448):
+    """PIL image -> normalized float32 (H, W, 3): Scale -> CenterCrop ->
+    ToTensor -> ImageNet Normalize (reference coco.py:84-92 transform)."""
+    import numpy as np
+
+    w, h = img.size
+    if w < h:
+        nw, nh = size, int(round(h * size / w))
+    else:
+        nw, nh = int(round(w * size / h)), size
+    img = img.resize((nw, nh), resample=2)  # PIL.Image.BILINEAR
+    left = (nw - size) // 2
+    top = (nh - size) // 2
+    img = img.crop((left, top, left + size, top + size))
+    arr = np.asarray(img, dtype=np.float32) / 255.0
+    if arr.ndim == 2:
+        arr = np.stack([arr] * 3, axis=-1)
+    arr = (arr - np.asarray(IMAGENET_MEAN)) / np.asarray(IMAGENET_STD)
+    return arr.astype(np.float32)
