@@ -1,0 +1,225 @@
+"""Aux subsystems: OpenEnded eval, processed pipeline, convnets port,
+answer-embedding builder, curve dashboards, visual genome merge."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from vqa_counterexamples_tpu.data import processed as proc
+from vqa_counterexamples_tpu.data import vgenome
+from vqa_counterexamples_tpu.engines import openended
+
+
+# ---------------------------------------------------------------- openended
+def test_normalize_answer():
+    assert openended.normalize_answer("Two") == "2"
+    assert openended.normalize_answer("a red car") == "red car"
+    assert openended.normalize_answer("isnt") == "isn't"
+    assert openended.normalize_answer("YES!") == "yes"
+
+
+def test_openended_accuracy_consensus():
+    ann = {1: {"answers": [{"answer": "yes"}] * 7 + [{"answer": "no"}] * 3,
+               "answer_type": "yes/no"}}
+    # 'yes' matches 7 (or 6 in folds dropping a yes) -> min(x/3,1)=1 always
+    res = openended.evaluate([{"question_id": 1, "answer": "yes"}], ann)
+    assert res["overall"] == 100.0
+    # 'no': folds dropping a 'no' leave 2 matches (2/3), else 3 (1.0)
+    res = openended.evaluate([{"question_id": 1, "answer": "no"}], ann)
+    expected = 100 * (3 * (2 / 3) + 7 * 1.0) / 10
+    assert abs(res["overall"] - round(expected, 2)) < 0.01
+    res = openended.evaluate([{"question_id": 1, "answer": "maybe"}], ann)
+    assert res["overall"] == 0.0
+
+
+# ---------------------------------------------------------------- processed
+def _mk_examples():
+    qs = ["What color is the cat?", "What color is the dog?",
+          "Is this a cat?", "How many cats are there?"]
+    ans = ["red", "red", "yes", "two"]
+    return [{"question_id": i, "image_name": "img%d.jpg" % i,
+             "question": q, "answer": a,
+             "answers_occurence": [(a, 10)]}
+            for i, (q, a) in enumerate(zip(qs, ans))]
+
+
+def test_top_answers_and_encoding():
+    examples = _mk_examples()
+    top = proc.get_top_answers(examples, nans=2)
+    assert top[0] == "red"  # most frequent first
+    ans_to_aid = {a: i for i, a in enumerate(top)}
+    kept = proc.remove_examples(examples, ans_to_aid)
+    assert len(kept) == 3  # 'two' dropped with nans=2
+    kept = proc.preprocess_questions(kept, "mcb")
+    kept, vocab = proc.remove_long_tail_train(kept, minwcount=0)
+    assert "UNK" in vocab
+    word_to_wid = {w: i + 1 for i, w in enumerate(vocab)}
+    kept = proc.encode_question(kept, word_to_wid, maxlength=6, pad="right")
+    assert all(len(ex["question_wids"]) == 6 for ex in kept)
+    assert kept[0]["question_wids"][0] == word_to_wid["what"]
+    # left padding puts the last word at the end
+    kept_l = proc.encode_question([dict(ex) for ex in kept], word_to_wid,
+                                  maxlength=6, pad="left")
+    assert kept_l[0]["question_wids"][-1] == word_to_wid["cat"]
+    kept = proc.encode_answer(kept, ans_to_aid)
+    assert kept[0]["answer_aid"] == ans_to_aid["red"]
+
+
+def test_full_processed_pipeline(tmp_path):
+    interim_dir = tmp_path / "interim"
+    os.makedirs(interim_dir)
+    with open(interim_dir / "train_questions_annotations.json", "w") as f:
+        json.dump(_mk_examples(), f)
+    with open(interim_dir / "val_questions_annotations.json", "w") as f:
+        json.dump(_mk_examples(), f)
+    params = {"dir": str(tmp_path), "trainsplit": "train", "nans": 3,
+              "maxlength": 8, "minwcount": 0, "nlp": "mcb", "pad": "right"}
+    paths = proc.vqa_processed(params)
+    assert os.path.isfile(paths["trainset"])
+    import pickle
+    with open(paths["aid_to_ans"], "rb") as f:
+        aid_to_ans = pickle.load(f)
+    assert len(aid_to_ans) == 3
+
+
+# ------------------------------------------------------------------ vgenome
+def test_vgenome_merge_remaps_vocab():
+    vg = [{"question_id": 10, "answer": "red",
+           "question_words_UNK": ["what", "hue"],
+           "question_wids": [5, 9, 0, 0], "seq_length": 2},
+          {"question_id": 11, "answer": "purple",
+           "question_words_UNK": ["what"], "question_wids": [5, 0, 0, 0],
+           "seq_length": 1}]
+    ans_to_aid = {"red": 0, "yes": 1}
+    word_to_wid = {"what": 2, "UNK": 1}
+    merged = vgenome.merge_vqa_vgenome([{"question_id": 0}], vg, ans_to_aid,
+                                       word_to_wid)
+    assert len(merged) == 2  # 'purple' dropped
+    assert merged[1]["answer_aid"] == 0
+    assert merged[1]["question_wids"][:2] == [2, 1]  # what -> 2, hue -> UNK
+
+
+# ----------------------------------------------------------------- convnets
+def test_resnet_tiny_forward_and_pooling_quirk():
+    import jax
+    import jax.numpy as jnp
+
+    from vqa_counterexamples_tpu.models import convnets
+
+    model = convnets.ResNet(depths=(1, 1, 1, 1), pooling=False)
+    params = model.init(jax.random.key(0),
+                        jnp.zeros((1, 64, 64, 3)))["params"]
+    att = model.apply({"params": params},
+                      jnp.ones((2, 64, 64, 3)))
+    assert att.shape == (2, 2, 2, 2048)
+    pooled_model = convnets.ResNet(depths=(1, 1, 1, 1), pooling=True)
+    pooled = pooled_model.apply({"params": params},
+                                jnp.ones((2, 64, 64, 3)))
+    # quirk: sum over H,W divided by (H + W), not H*W (convnets.py:48-55)
+    expect = np.asarray(att).sum((1, 2)) / 4.0
+    np.testing.assert_allclose(np.asarray(pooled), expect, rtol=1e-2,
+                               atol=5e-3)  # bf16 trunk rounding
+
+
+def test_resnet_torch_port_roundtrip(tmp_path):
+    """Port a fabricated torchvision-style state dict and check BN math."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from vqa_counterexamples_tpu.models import convnets
+
+    model = convnets.ResNet(depths=(1, 1, 1, 1), pooling=False)
+    params = model.init(jax.random.key(0),
+                        jnp.zeros((1, 64, 64, 3)))["params"]
+
+    sd = {}
+    def add_conv(name, o, i, k):
+        sd[name + ".weight"] = torch.randn(o, i, k, k)
+    def add_bn(name, c):
+        sd[name + ".weight"] = torch.rand(c) + 0.5
+        sd[name + ".bias"] = torch.randn(c)
+        sd[name + ".running_mean"] = torch.randn(c)
+        sd[name + ".running_var"] = torch.rand(c) + 0.5
+    add_conv("conv1", 64, 3, 7); add_bn("bn1", 64)
+    for s, blocks in enumerate((1, 1, 1, 1), start=1):
+        cin = 64 if s == 1 else 64 * (2 ** (s - 1)) * 4 // 2
+        feats = 64 * (2 ** (s - 1))
+        for b in range(blocks):
+            pre = "layer%d.%d" % (s, b)
+            add_conv(pre + ".conv1", feats, 64 if s == 1 and b == 0 else feats * 4 if b > 0 else cin * 2, 1)
+            add_bn(pre + ".bn1", feats)
+            add_conv(pre + ".conv2", feats, feats, 3)
+            add_bn(pre + ".bn2", feats)
+            add_conv(pre + ".conv3", feats * 4, feats, 1)
+            add_bn(pre + ".bn3", feats * 4)
+            if b == 0:
+                add_conv(pre + ".downsample.0", feats * 4,
+                         64 if s == 1 else feats * 2, 1)
+                add_bn(pre + ".downsample.1", feats * 4)
+    # fix input channel bookkeeping by matching template shapes instead
+    for stage, blocks in enumerate((1, 1, 1, 1), start=1):
+        for b in range(blocks):
+            pre = "layer%d.%d" % (stage, b)
+            ours = params["layer%d_%d" % (stage, b)]
+            for i in (1, 2, 3):
+                kern = ours["conv%d" % i]["kernel"]
+                h, w, ci, co = kern.shape
+                sd[pre + ".conv%d.weight" % i] = torch.randn(co, ci, h, w)
+            if "downsample_conv" in ours:
+                kern = ours["downsample_conv"]["kernel"]
+                h, w, ci, co = kern.shape
+                sd[pre + ".downsample.0.weight"] = torch.randn(co, ci, h, w)
+    kern = params["conv1"]["kernel"]
+    sd["conv1.weight"] = torch.randn(kern.shape[3], kern.shape[2], 7, 7)
+    path = str(tmp_path / "resnet.pth")
+    torch.save(sd, path)
+    ported = convnets.load_torch_resnet152(params, path)
+    np.testing.assert_allclose(
+        np.asarray(ported["conv1"]["kernel"]),
+        np.transpose(sd["conv1.weight"].numpy(), (2, 3, 1, 0)))
+    out = model.apply({"params": ported}, jnp.ones((1, 64, 64, 3)))
+    assert np.isfinite(np.asarray(out)).all()
+
+
+# ------------------------------------------------- answer embedding builder
+def test_build_answer_table():
+    from vqa_counterexamples_tpu.cli.build_answer_embedding import build_table
+
+    vocab_answers = ["red", "blue car", "purple"]
+    word_to_wid = {"red": 1, "blue": 2, "car": 3}
+
+    def encode(wids):
+        return np.tile(wids[:, :1].astype(np.float32), (1, 4))
+
+    table = build_table(encode, vocab_answers, word_to_wid, maxlength=5,
+                        dim=4, batch_size=2)
+    assert table.shape == (3, 4)
+    assert (table[0] == 1).all()      # 'red' -> wid 1
+    assert (table[1] == 2).all()      # 'blue car' -> first wid 2
+    assert (table[2] == 0).all()      # 'purple' not coverable -> zeros
+
+
+# -------------------------------------------------------------------- viz
+def test_curves_render(tmp_path):
+    from vqa_counterexamples_tpu.core.experiment import Experiment
+    from vqa_counterexamples_tpu.core.meters import AvgMeter
+    from vqa_counterexamples_tpu.viz import curves
+
+    xp = Experiment("t")
+    xp.add_meters("val", {"acc1": AvgMeter(), "loss": AvgMeter()})
+    for epoch, (a, l) in enumerate([(10, 3.0), (20, 2.0), (15, 2.5)],
+                                   start=1):
+        xp.get_meter("val", "acc1").update(a)
+        xp.get_meter("val", "loss").update(l)
+        xp.log_meters("val", n=epoch)
+        xp.reset_meters("val")
+    d = str(tmp_path / "run")
+    xp.to_json(os.path.join(d, "logger.json"))
+    loaded = curves.load_curves(d)
+    assert loaded["val/acc1"][1] == [10, 20, 15]
+    assert curves.best_trace(*loaded["val/acc1"]) == [10, 20, 20]
+    out = curves.render_html({"run": loaded}, str(tmp_path / "view.html"))
+    assert os.path.getsize(out) > 100

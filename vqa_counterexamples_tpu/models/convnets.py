@@ -105,7 +105,10 @@ class ResNet(nn.Module):
                                dtype=self.dtype,
                                name="layer%d_%d" % (stage + 1, block))(x)
         if self.pooling:
-            # reference quirk: divide by (H + W), not H*W (convnets.py:48-55)
+            # reference head (convnets.py:48-55): 7x7/1 avgpool, then the
+            # quirky global sum divided by (H + W) — NOT H*W
+            if x.shape[1] >= 7 and x.shape[2] >= 7:
+                x = nn.avg_pool(x, (7, 7), strides=(1, 1))
             h, w = x.shape[1], x.shape[2]
             x = x.sum(axis=(1, 2)) / float(h + w)
         return x.astype(jnp.float32)
