@@ -18,12 +18,15 @@ import numpy as np
 
 
 class FeatureStore:
-    def __init__(self, features: np.ndarray, names: list[str]):
+    def __init__(self, features: np.ndarray, names: list[str],
+                 npy_path: str | None = None):
         assert features.shape[0] == len(names), (features.shape, len(names))
         self.features = features
         self.names = list(names)
         self.name_to_index = {name: i for i, name in enumerate(self.names)}
         self._device_array = None
+        self._npy_path = npy_path
+        self._native = None
 
     # -- io -----------------------------------------------------------------
     @classmethod
@@ -37,10 +40,10 @@ class FeatureStore:
                              else ".%s.npy" % dataset)
         if os.path.exists(npy):
             feats = np.load(npy, mmap_mode="r")
-        else:
-            import h5py
-            with h5py.File(path_prefix + ".hdf5", "r") as f:
-                feats = np.asarray(f[dataset])
+            return cls(np.asarray(feats), names, npy_path=npy)
+        import h5py
+        with h5py.File(path_prefix + ".hdf5", "r") as f:
+            feats = np.asarray(f[dataset])
         return cls(np.asarray(feats), names)
 
     def save(self, path_prefix: str) -> None:
@@ -61,6 +64,22 @@ class FeatureStore:
                                   if sharding is not None
                                   else jax.device_put(arr))
         return self._device_array
+
+    def gather_rows(self, rows: np.ndarray) -> np.ndarray:
+        """Host-side row gather; uses the native C++ mmap/thread-pool store
+        (data/native_store.py) when the backing file is a .npy, else numpy.
+        This is the fast path for stores too big for HBM (att maps)."""
+        if self._native is None and self._npy_path is not None:
+            from .native_store import NativeFeatureStore
+            try:
+                self._native = NativeFeatureStore.open_npy(self._npy_path)
+            except Exception as exc:  # noqa: BLE001
+                print("native store unavailable (%s); numpy gather" % exc)
+                self._npy_path = None
+        if self._native is not None:
+            flat = self._native.gather(rows)
+            return flat.reshape(rows.shape[0], *self._native.row_shape)
+        return self.features[rows]
 
     def get_by_name(self, name: str) -> np.ndarray:
         return self.features[self.name_to_index[name]]

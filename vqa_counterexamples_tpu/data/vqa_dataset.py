@@ -89,5 +89,5 @@ class VQAArrays:
                     device_features,
                     jnp.asarray(self.image_rows[idx]), axis=0)
             else:
-                batch["visual"] = self.store.features[self.image_rows[idx]]
+                batch["visual"] = self.store.gather_rows(self.image_rows[idx])
             yield batch
