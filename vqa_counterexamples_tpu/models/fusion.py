@@ -109,8 +109,8 @@ class MutanFusion(nn.Module):
         simple = (opt.get("dropout_hv", 0) == 0 and opt.get("dropout_hq", 0) == 0
                   and "activation_hv" not in opt and "activation_hq" not in opt)
         if simple:
-            x_mm = fusion_ops.tucker_rank_fusion(x_v, x_q, w_hv, b_hv,
-                                                 w_hq, b_hq, rank)
+            x_mm = fusion_ops.tucker_rank_fusion_auto(x_v, x_q, w_hv, b_hv,
+                                                      w_hq, b_hq, rank)
         else:
             # general path: per-rank dropout/activation between the projections
             batch = x_v.shape[0]

@@ -14,6 +14,8 @@ the GEMMs are big enough to saturate the systolic array at B*25 rows.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -46,3 +48,52 @@ def stack_rank_weights(w_list, b_list):
     w = jnp.concatenate([w for w in w_list], axis=1)
     b = jnp.concatenate([b for b in b_list], axis=0)
     return w, b
+
+
+# Below this many rows XLA's fused einsum path wins (intermediates stay in
+# registers/VMEM); above it XLA spills the (B, R*dmm) projections to HBM and
+# the Pallas kernel is ~2x faster (see ops/pallas/mutan_kernel.py timings).
+PALLAS_MIN_BATCH = 4096
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def _tucker_pallas_vjp(x_v, x_q, w_v, b_v, w_q, b_q, rank):
+    from .pallas.mutan_kernel import tucker_rank_fusion_pallas
+
+    return tucker_rank_fusion_pallas(x_v, x_q, w_v, b_v, w_q, b_q,
+                                     rank=rank, tile_b=800)
+
+
+def _tucker_fwd(x_v, x_q, w_v, b_v, w_q, b_q, rank):
+    return (_tucker_pallas_vjp(x_v, x_q, w_v, b_v, w_q, b_q, rank),
+            (x_v, x_q, w_v, b_v, w_q, b_q))
+
+
+def _tucker_bwd(rank, res, g):
+    """Backward via recomputed projections (einsum form): cheaper to redo the
+    two GEMMs than to have saved the (B, R*dmm) intermediates in HBM."""
+    x_v, x_q, w_v, b_v, w_q, b_q = res
+    batch = x_v.shape[0]
+    dmm = w_v.shape[1] // rank
+    hv = (x_v @ w_v + b_v).reshape(batch, rank, dmm)
+    hq = (x_q @ w_q + b_q).reshape(batch, rank, dmm)
+    g_hv = (g[:, None, :] * hq).reshape(batch, rank * dmm)
+    g_hq = (g[:, None, :] * hv).reshape(batch, rank * dmm)
+    return (g_hv @ w_v.T, g_hq @ w_q.T,
+            x_v.T @ g_hv, jnp.sum(g_hv, axis=0),
+            x_q.T @ g_hq, jnp.sum(g_hq, axis=0))
+
+
+_tucker_pallas_vjp.defvjp(_tucker_fwd, _tucker_bwd)
+
+
+def tucker_rank_fusion_auto(x_v: jax.Array, x_q: jax.Array,
+                            w_v: jax.Array, b_v: jax.Array,
+                            w_q: jax.Array, b_q: jax.Array,
+                            rank: int) -> jax.Array:
+    """Dispatch between the XLA einsum path and the Pallas kernel by batch
+    size (static at trace time) and backend."""
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if on_tpu and x_v.shape[0] >= PALLAS_MIN_BATCH:
+        return _tucker_pallas_vjp(x_v, x_q, w_v, b_v, w_q, b_q, rank)
+    return tucker_rank_fusion(x_v, x_q, w_v, b_v, w_q, b_q, rank)
