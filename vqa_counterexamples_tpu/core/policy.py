@@ -1,0 +1,52 @@
+"""Compute-dtype policy for the hot GEMMs.
+
+TPU MXU peak doubles in bf16; the CX workload is compute-bound at the f32
+roofline (~58 TF/s measured on v5e at B=512).  The policy casts *matmul
+operands* in the hot ops (GRU recurrence, answer-embedding mixture, candidate
+scorer, fusion projections) to the policy dtype while accumulating in f32
+(``preferred_element_type``); params, optimizer state and losses stay f32.
+
+Default is float32 (bit-faithful to the reference); benchmarks and production
+training enable bf16 via ``set_compute_dtype(jnp.bfloat16)`` or
+``VQACX_COMPUTE_DTYPE=bfloat16``.
+"""
+
+from __future__ import annotations
+
+import os
+from contextlib import contextmanager
+
+import jax.numpy as jnp
+
+_DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
+_compute_dtype = _DTYPES.get(os.environ.get("VQACX_COMPUTE_DTYPE", "float32"),
+                             jnp.float32)
+
+
+def compute_dtype():
+    return _compute_dtype
+
+
+def set_compute_dtype(dtype) -> None:
+    global _compute_dtype
+    if isinstance(dtype, str):
+        dtype = _DTYPES[dtype]
+    _compute_dtype = dtype
+
+
+@contextmanager
+def compute_dtype_scope(dtype):
+    global _compute_dtype
+    prev = _compute_dtype
+    set_compute_dtype(dtype)
+    try:
+        yield
+    finally:
+        _compute_dtype = prev
+
+
+def cast_in(*arrays):
+    """Cast matmul operands to the policy dtype (no-op under f32)."""
+    dt = _compute_dtype
+    out = tuple(a.astype(dt) if a.dtype != dt else a for a in arrays)
+    return out if len(out) > 1 else out[0]

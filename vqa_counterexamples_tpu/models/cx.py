@@ -215,7 +215,11 @@ class NeuralModel(CXModelBase):
             a_emb_gt = answer_embedding[answer_aids.astype(jnp.int32)]
             a_probs = jax.nn.softmax(a_knns, axis=-1)
             # soft mixture of answer embeddings (reference bmm, cx.py:279-282)
-            a_emb_knns = jnp.einsum("bka,ad->bkd", a_probs, answer_embedding)
+            # — the FLOP-heaviest GEMM of the model; policy dtype on the MXU
+            from ..core.policy import cast_in
+            pa, pe = cast_in(a_probs, answer_embedding)
+            a_emb_knns = jnp.einsum("bka,ad->bkd", pa, pe,
+                                    preferred_element_type=jnp.float32)
         else:
             a_emb_gt = _uniform(self, (batch, self.dim_a))
             a_emb_knns = _uniform(self, (batch, K, self.dim_a))

@@ -36,10 +36,16 @@ def tucker_rank_fusion(x_v: jax.Array, x_q: jax.Array,
 
     Returns (B, dim_mm).
     """
+    from ..core.policy import cast_in
+
     batch = x_v.shape[0]
     dim_mm = w_v.shape[1] // rank
-    hv = (x_v @ w_v + b_v).reshape(batch, rank, dim_mm)
-    hq = (x_q @ w_q + b_q).reshape(batch, rank, dim_mm)
+    xv, wv = cast_in(x_v, w_v)
+    xq, wq = cast_in(x_q, w_q)
+    hv = (jnp.dot(xv, wv, preferred_element_type=jnp.float32)
+          + b_v).reshape(batch, rank, dim_mm)
+    hq = (jnp.dot(xq, wq, preferred_element_type=jnp.float32)
+          + b_q).reshape(batch, rank, dim_mm)
     return jnp.sum(hv * hq, axis=1)
 
 
@@ -92,8 +98,17 @@ def tucker_rank_fusion_auto(x_v: jax.Array, x_q: jax.Array,
                             w_q: jax.Array, b_q: jax.Array,
                             rank: int) -> jax.Array:
     """Dispatch between the XLA einsum path and the Pallas kernel by batch
-    size (static at trace time) and backend."""
+    size (static at trace time) and backend.
+
+    The Pallas path is opt-in (VQACX_ENABLE_PALLAS=1): it is 2.1x faster at
+    B>=~8k, but a kernel fault inside a long-lived training job wedges the
+    chip, so the default stays on the always-safe XLA path until the kernel
+    has soak time under autodiff at every shape we ship.
+    """
+    import os
+
+    enabled = os.environ.get("VQACX_ENABLE_PALLAS", "0") == "1"
     on_tpu = jax.devices()[0].platform == "tpu"
-    if on_tpu and x_v.shape[0] >= PALLAS_MIN_BATCH:
+    if enabled and on_tpu and x_v.shape[0] >= PALLAS_MIN_BATCH:
         return _tucker_pallas_vjp(x_v, x_q, w_v, b_v, w_q, b_q, rank)
     return tucker_rank_fusion(x_v, x_q, w_v, b_v, w_q, b_q, rank)

@@ -80,13 +80,20 @@ def gru_scan(params: GRUParams, x: jax.Array, *, dropout: float = 0.0,
         mask_h = mask_h.astype(x.dtype) / (1.0 - dropout)
         x = x * mask_x[:, None, :]
 
-    # one fused GEMM for every timestep's input projection
-    x_proj = (x.reshape(batch * seq_len, -1) @ params.w_ih + params.b_ih)
+    from ..core.policy import cast_in, compute_dtype
+
+    # one fused GEMM for every timestep's input projection; matmul operands
+    # follow the compute-dtype policy (bf16 doubles MXU rate), f32 accumulate
+    xc, w_ih = cast_in(x.reshape(batch * seq_len, -1), params.w_ih)
+    x_proj = jnp.dot(xc, w_ih,
+                     preferred_element_type=jnp.float32) + params.b_ih
     x_proj = x_proj.reshape(batch, seq_len, 3 * dim_h)
+    w_hh = params.w_hh.astype(compute_dtype())
 
     def step(h, xp):
         h_in = h * mask_h if mask_h is not None else h
-        h_proj = h_in @ params.w_hh + params.b_hh
+        h_proj = jnp.dot(h_in.astype(w_hh.dtype), w_hh,
+                         preferred_element_type=jnp.float32) + params.b_hh
         xr, xz, xn = jnp.split(xp, 3, axis=-1)
         hr, hz, hn = jnp.split(h_proj, 3, axis=-1)
         r = jax.nn.sigmoid(xr + hr)
@@ -129,12 +136,18 @@ def lstm_scan(params: LSTMParams, x: jax.Array,
     if c0 is None:
         c0 = jnp.zeros((batch, dim_h), x.dtype)
 
-    x_proj = (x.reshape(batch * seq_len, -1) @ params.w_ih + params.b_ih)
+    from ..core.policy import cast_in, compute_dtype
+
+    xc, w_ih = cast_in(x.reshape(batch * seq_len, -1), params.w_ih)
+    x_proj = jnp.dot(xc, w_ih,
+                     preferred_element_type=jnp.float32) + params.b_ih
     x_proj = x_proj.reshape(batch, seq_len, 4 * dim_h)
+    w_hh = params.w_hh.astype(compute_dtype())
 
     def step(carry, xp):
         h, c = carry
-        gates = xp + h @ params.w_hh + params.b_hh
+        gates = xp + jnp.dot(h.astype(w_hh.dtype), w_hh,
+                             preferred_element_type=jnp.float32) + params.b_hh
         i, f, g, o = jnp.split(gates, 4, axis=-1)
         c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
         h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)

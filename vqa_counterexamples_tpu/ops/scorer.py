@@ -82,19 +82,23 @@ def first_layer_decomposed(w1: jax.Array, b1: jax.Array,
         lo, hi = offs[name]
         return w1[lo:hi]
 
+    from ..core.policy import cast_in
+
     # Static-across-candidates half: one GEMM on the concatenated block.
     w_static = jnp.concatenate(
         [wslice("v_orig"), wslice("q_emb"), wslice("z_orig"),
          wslice("a_emb_gt")], axis=0)
     x_static = jnp.concatenate([v_orig, q_emb, z_orig, a_emb_gt], axis=-1)
-    h_static = x_static @ w_static  # (B, H)
+    xs, ws = cast_in(x_static, w_static)
+    h_static = jnp.dot(xs, ws, preferred_element_type=jnp.float32)  # (B, H)
 
     # Per-candidate half: one GEMM over the flattened (B*K) axis.
     w_cand = jnp.concatenate(
         [wslice("v_other"), wslice("v_mult"), wslice("z_other"),
          wslice("a_emb_other")], axis=0)
     x_cand = jnp.concatenate([v_knns, v_mult, z_knns, a_emb_knns], axis=-1)
-    h_cand = x_cand @ w_cand  # (B, K, H)
+    xc, wc = cast_in(x_cand, w_cand)
+    h_cand = jnp.dot(xc, wc, preferred_element_type=jnp.float32)  # (B, K, H)
 
     # Rank one-hot: identity GEMM == per-candidate rows of W (or a dense GEMM
     # for the lesion case where v_rank is random instead of one-hot).
