@@ -124,3 +124,29 @@ def validate(eval_step, params, loader, experiment, epoch: int,
     out = {"acc1": meters["acc1"].value(), "acc5": meters["acc5"].value(),
            "loss": meters["loss"].value()}
     return (out, results) if collect_results else out
+
+
+def test_pass(eval_step_logits, params, loader, aid_to_ans,
+              testdev: bool = False):
+    """Answer-only pass over test/test-dev (no ground truth; reference
+    engine.py:117-153): returns OpenEnded result rows for submission."""
+    import numpy as np
+
+    results = []
+    for batch in loader:
+        preds = np.asarray(eval_step_logits(params, batch))
+        for qid, aid in zip(batch["question_id"], preds):
+            results.append({"question_id": int(qid),
+                            "answer": aid_to_ans[int(aid)]})
+    return results
+
+
+def make_vqa_predict_step(model) -> Callable:
+    """argmax answer ids only (for test_pass)."""
+    @jax.jit
+    def predict(params, batch):
+        output = model.apply({"params": params}, batch["visual"],
+                             batch["question"], deterministic=True)
+        return jnp.argmax(output, axis=-1)
+
+    return predict
