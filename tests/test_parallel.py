@@ -54,11 +54,14 @@ def test_dp_step_matches_single_device():
     model, optimizer, state, features, batch, train_step = _setup("sgd")
     nv = jnp.asarray(float(BATCH), jnp.float32)
 
-    _, m_single = train_step(state, features, batch, nv)
+    def fresh(s):  # train_step donates its input state
+        return jax.tree_util.tree_map(jnp.copy, s)
+
+    _, m_single = train_step(fresh(state), features, batch, nv)
 
     mesh = make_mesh({"data": 8})
     repl = NamedSharding(mesh, P())
-    state_r = jax.device_put(state, repl)
+    state_r = jax.device_put(fresh(state), repl)
     features_r = jax.device_put(features, repl)
     batch_s = shard_batch(batch, mesh)
     with jax.set_mesh(mesh):
@@ -68,7 +71,7 @@ def test_dp_step_matches_single_device():
     assert float(m_single["correct"]) == float(m_dp["correct"])
     # params updated identically (allreduce-consistent)
     w_single, _ = jax.tree_util.tree_flatten(
-        train_step(state, features, batch, nv)[0].params)
+        train_step(fresh(state), features, batch, nv)[0].params)
     w_dp, _ = jax.tree_util.tree_flatten(new_state.params)
     for a, b in zip(w_single, w_dp):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4,

@@ -8,6 +8,7 @@ counterexample (contrastive.py:217-219, 259-290; loss :293-309).
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Callable, NamedTuple
 
 import jax
@@ -37,7 +38,7 @@ def make_contrastive_train_step(model, optimizer, *, margin: float = 2.0,
                                 base_seed: int = 42) -> Callable:
     root = rng_lib.root_key(base_seed)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: ContrastiveState, features, batch, n_valid):
         keys = rng_lib.step_keys(root, state.step, ("dropout", "lesion"))
         batch_size = batch["comp_idxs"].shape[0]

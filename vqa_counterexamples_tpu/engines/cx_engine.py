@@ -66,7 +66,9 @@ def make_cx_train_step(model, optimizer, *, recall_k: int = 5,
     """
     root = rng_lib.root_key(base_seed)
 
-    @jax.jit
+    # donate the state: params/opt-state buffers are reused in place, halving
+    # the step's HBM allocation traffic
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: CXTrainState, features, batch, n_valid):
         keys = rng_lib.step_keys(root, state.step, ("dropout", "lesion"))
         batch_size = batch["comp_idxs"].shape[0]

@@ -7,6 +7,7 @@ host loader side (``samplingans``, reference ``vqa/datasets/vqa.py:62-76``).
 
 from __future__ import annotations
 
+import functools
 import time
 from typing import Any, Callable, NamedTuple
 
@@ -40,7 +41,7 @@ def init_vqa_state(model, optimizer, example_batch: dict,
 def make_vqa_train_step(model, optimizer, base_seed: int = 42) -> Callable:
     root = rng_lib.root_key(base_seed)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: VQATrainState, batch):
         keys = rng_lib.step_keys(root, state.step, ("dropout",))
 
