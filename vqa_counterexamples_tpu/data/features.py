@@ -47,7 +47,11 @@ class FeatureStore:
         return cls(np.asarray(feats), names)
 
     def save(self, path_prefix: str) -> None:
-        np.save(path_prefix + ".npy", self.features)
+        # atomic replace: live mmaps of a previous file keep their inode
+        # (overwriting in place would SIGBUS readers of the old mapping)
+        tmp = path_prefix + ".tmp.npy"
+        np.save(tmp, np.asarray(self.features))
+        os.replace(tmp, path_prefix + ".npy")
         with open(path_prefix + ".txt", "w") as f:
             for name in self.names:
                 f.write(name + "\n")
