@@ -19,6 +19,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -31,6 +32,17 @@ N_STEPS = 50
 
 def main():
     import jax
+
+    # persistent compilation cache: the skip-thoughts train step takes
+    # minutes to compile cold; a pre-warmed cache makes fresh runs fast
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(
+                              os.path.abspath(__file__)), ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
     import optax
 
