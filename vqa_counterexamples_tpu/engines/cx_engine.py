@@ -26,7 +26,7 @@ import optax
 
 from ..core import rng as rng_lib
 from ..data import vqacx
-from ..ops.metrics import cross_entropy_sum, recall_at_k
+from ..ops.metrics import recall_at_k
 
 
 class CXTrainState(NamedTuple):

@@ -23,7 +23,7 @@ TPU-first changes vs the reference:
 
 from __future__ import annotations
 
-from typing import Any, Mapping, Optional, Tuple
+from typing import Any, Mapping
 
 import flax.linen as nn
 import jax
