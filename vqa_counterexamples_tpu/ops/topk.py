@@ -24,22 +24,30 @@ def _chunk_neg_sqdist(queries: jax.Array, corpus: jax.Array,
     return 2.0 * dots - q_sq - corpus_sqnorm[None, :]
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def knn_chunk(queries: jax.Array, corpus: jax.Array, k: int):
-    """Exact k-NN of each query row against the full corpus (single device).
+@functools.partial(jax.jit, static_argnames=("k", "approx"))
+def knn_chunk(queries: jax.Array, corpus: jax.Array, k: int,
+              approx: bool = False):
+    """k-NN of each query row against the full corpus (single device).
 
     Returns (distances, indices), distances ascending euclidean — the same
     contract as sklearn ``kneighbors`` (so index 0 is the query itself when
     querying the corpus against itself, reference knn.py:47-53).
+
+    ``approx=True`` uses the TPU-native ``lax.approx_max_k`` (recall target
+    0.999) — much faster than the exact sort-based top-k on wide corpora.
     """
     corpus_sqnorm = jnp.sum(corpus.astype(jnp.float32) ** 2, axis=1)
     neg_sq = _chunk_neg_sqdist(queries, corpus, corpus_sqnorm)
-    neg_top, idx = jax.lax.top_k(neg_sq, k)
+    if approx:
+        neg_top, idx = jax.lax.approx_max_k(neg_sq, k, recall_target=0.999)
+    else:
+        neg_top, idx = jax.lax.top_k(neg_sq, k)
     dist = jnp.sqrt(jnp.maximum(-neg_top, 0.0))
     return dist, idx
 
 
-def knn(features, k: int = 25, queries=None, batch_size: int = 1024):
+def knn(features, k: int = 25, queries=None, batch_size: int = 1024,
+        approx: bool = False):
     """Host-driver over query chunks; features stay device-resident.
 
     ``queries`` defaults to ``features`` (self-kNN, the extract->knn pipeline
@@ -56,7 +64,7 @@ def knn(features, k: int = 25, queries=None, batch_size: int = 1024):
         pad = batch_size - chunk.shape[0]
         if pad:
             chunk = jnp.pad(chunk, ((0, pad), (0, 0)))
-        dist, idx = knn_chunk(chunk, corpus, k)
+        dist, idx = knn_chunk(chunk, corpus, k, approx=approx)
         if pad:
             dist, idx = dist[:-pad], idx[:-pad]
         all_dist.append(np.asarray(dist))
