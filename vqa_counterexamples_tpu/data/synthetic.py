@@ -41,13 +41,14 @@ def make_synthetic_cx(n_examples: int = 256, n_images: int = 128,
     store = FeatureStore(features, names)
 
     # true knn lists (exclude self), sorted ascending distance
-    d2 = ((features[:, None, :] - features[None, :, :]) ** 2).sum(-1) \
-        if n_images <= 512 else None
-    if d2 is None:
-        norms = (features ** 2).sum(1)
-        d2 = norms[:, None] - 2 * features @ features.T + norms[None, :]
+    norms = (features ** 2).sum(1)
+    d2 = norms[:, None] - 2 * features @ features.T + norms[None, :]
     np.fill_diagonal(d2, np.inf)
-    knn_idx = np.argsort(d2, axis=1)[:, :knn_size]
+    # argpartition + local sort: O(N^2 + N*k log k), not O(N^2 log N)
+    part = np.argpartition(d2, knn_size, axis=1)[:, :knn_size]
+    part_d = np.take_along_axis(d2, part, axis=1)
+    order = np.argsort(part_d, axis=1)
+    knn_idx = np.take_along_axis(part, order, axis=1)
 
     vocab_words, vocab_answers = synthetic_vocab(n_words, n_answers)
 

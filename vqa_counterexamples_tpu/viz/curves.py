@@ -29,6 +29,21 @@ def load_curves(dir_logs: str) -> dict:
                 pts = sorted((int(k), v) for k, v in by_epoch.items())
                 curves["%s/%s" % (split, meter)] = (
                     [p[0] for p in pts], [p[1] for p in pts])
+    # per-epoch OpenEnded accuracy files written by cli/eval_res.py
+    # (the reference visu.py reads the same artifacts, visu.py:45-105)
+    import glob
+    import re
+    oe = []
+    for path in glob.glob(os.path.join(dir_logs, "results", "*",
+                                       "*_epoch_*_accuracy.json")):
+        m = re.search(r"_epoch_(\d+)_accuracy\.json$", path)
+        if m:
+            with open(path) as f:
+                oe.append((int(m.group(1)), json.load(f)["overall"]))
+    if oe:
+        oe.sort()
+        curves["val/openended"] = ([e for e, _ in oe], [v for _, v in oe])
+
     for sub in ("", "train", "val"):
         ev = os.path.join(dir_logs, sub, "events.jsonl")
         if os.path.isfile(ev):
