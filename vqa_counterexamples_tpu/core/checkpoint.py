@@ -36,6 +36,26 @@ def save_pytree(pytree: Any, path: str) -> None:
         f.write(serialization.to_bytes(pytree))
 
 
+def save_pytree_orbax(pytree: Any, path: str) -> bool:
+    """Optional orbax backend (async-capable, multi-host-aware) for
+    large-scale deployments; returns False when orbax is unavailable.
+    The msgpack scheme above remains the canonical format."""
+    try:
+        import orbax.checkpoint as ocp
+    except Exception:  # noqa: BLE001
+        return False
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(os.path.abspath(path), jax.device_get(pytree), force=True)
+    return True
+
+
+def load_pytree_orbax(template: Any, path: str) -> Any:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    return ckptr.restore(os.path.abspath(path), item=template)
+
+
 def load_pytree(template: Any, path: str) -> Any:
     with open(path, "rb") as f:
         return serialization.from_bytes(template, f.read())
