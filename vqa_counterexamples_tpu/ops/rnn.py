@@ -61,7 +61,7 @@ def gru_init(key: jax.Array, dim_in: int, dim_h: int,
 
 def gru_scan(params: GRUParams, x: jax.Array, *, dropout: float = 0.0,
              deterministic: bool = True, rng: jax.Array | None = None,
-             h0: jax.Array | None = None) -> jax.Array:
+             h0: jax.Array | None = None, unroll: int = 1) -> jax.Array:
     """Run a GRU over (B, T, D) -> all hidden states (B, T, H)."""
     batch, seq_len, _ = x.shape
     dim_h = params.w_hh.shape[0]
@@ -102,7 +102,8 @@ def gru_scan(params: GRUParams, x: jax.Array, *, dropout: float = 0.0,
         h_new = (1.0 - z) * n + z * h
         return h_new, h_new
 
-    _, states = jax.lax.scan(step, h0, jnp.swapaxes(x_proj, 0, 1))
+    _, states = jax.lax.scan(step, h0, jnp.swapaxes(x_proj, 0, 1),
+                             unroll=unroll)
     return jnp.swapaxes(states, 0, 1)
 
 
