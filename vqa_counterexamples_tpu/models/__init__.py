@@ -1,2 +1,2 @@
-from . import seq2vec, fusion, noatt, att, cx, factory
-from .factory import factory_vqa, model_names
+from . import seq2vec, fusion, noatt, att, convnets, cx, factory
+from .factory import factory_cx, factory_vqa, cx_model_names, model_names
