@@ -4,12 +4,13 @@ The XLA path (ops/topk.knn_chunk) materializes the full (Bq, N) negative
 squared-distance matrix in HBM (1.4 GB per 4096-query chunk on COCO) and runs
 a sort-based top-k over 82k-wide rows.  This kernel walks the corpus in tiles:
 each grid step computes the (Bq, TILE_N) distance block with one MXU matmul
-and folds it into a running (Bq, k) top-k held in VMEM scratch — the full
+and folds it into a running (Bq, K) top-k held in VMEM scratch — the full
 distance matrix never exists, and HBM traffic is one read of the corpus per
 query chunk.
 
-Merge step: concat(running values, tile top-k) -> lax.top_k over 2k columns.
-Global indices are carried alongside values.
+``lax.top_k`` has no Pallas TPU lowering, so top-k is hand-rolled as K rounds
+of (max, first-argmax-via-min-iota, mask) on the VPU — K is small (25) and
+static, so the rounds unroll.
 """
 
 from __future__ import annotations
@@ -21,9 +22,32 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+_NEG_INF = float("-inf")
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def _row_topk(x: jax.Array, idx: jax.Array, k: int):
+    """Top-k along axis 1 by iterative max extraction.
+
+    x (B, T) values, idx (B, T) the global index carried with each value.
+    Returns (vals (B, k), idxs (B, k)) sorted descending.  Ties resolve to
+    the smallest index (matching lax.top_k).
+    """
+    big = jnp.int32(2 ** 30)
+    vals, idxs = [], []
+    cur = x
+    for _ in range(k):
+        m = jnp.max(cur, axis=1, keepdims=True)               # (B, 1)
+        ismax = cur == m
+        first = jnp.min(jnp.where(ismax, idx, big), axis=1,
+                        keepdims=True)                        # (B, 1)
+        vals.append(m)
+        idxs.append(first)
+        cur = jnp.where(ismax & (idx == first), _NEG_INF, cur)
+    return jnp.concatenate(vals, axis=1), jnp.concatenate(idxs, axis=1)
 
 
 def _make_kernel(k: int, tile_n: int, n_total: int):
@@ -33,7 +57,7 @@ def _make_kernel(k: int, tile_n: int, n_total: int):
 
         @pl.when(t == 0)
         def _():
-            run_vals[:] = jnp.full_like(run_vals, -jnp.inf)
+            run_vals[:] = jnp.full_like(run_vals, _NEG_INF)
             run_idx[:] = jnp.zeros_like(run_idx)
 
         # -(||q - c||^2) for this corpus tile: (Bq, TILE_N)
@@ -44,16 +68,15 @@ def _make_kernel(k: int, tile_n: int, n_total: int):
         # mask padding columns beyond the real corpus
         col = t * tile_n + jax.lax.broadcasted_iota(
             jnp.int32, neg_sq.shape, 1)
-        neg_sq = jnp.where(col < n_total, neg_sq, -jnp.inf)
+        neg_sq = jnp.where(col < n_total, neg_sq, _NEG_INF)
 
-        tile_vals, tile_loc = jax.lax.top_k(neg_sq, k)
-        tile_idx = t * tile_n + tile_loc
+        tile_vals, tile_idx = _row_topk(neg_sq, col, k)
 
-        cat_vals = jnp.concatenate([run_vals[:], tile_vals], axis=1)
-        cat_idx = jnp.concatenate([run_idx[:], tile_idx], axis=1)
-        best_vals, pos = jax.lax.top_k(cat_vals, k)
-        run_vals[:] = best_vals
-        run_idx[:] = jnp.take_along_axis(cat_idx, pos, axis=1)
+        cat_vals = jnp.concatenate([run_vals[:, :k], tile_vals], axis=1)
+        cat_idx = jnp.concatenate([run_idx[:, :k], tile_idx], axis=1)
+        best_vals, best_idx = _row_topk(cat_vals, cat_idx, k)
+        run_vals[:, :k] = best_vals
+        run_idx[:, :k] = best_idx
 
         @pl.when(t == pl.num_programs(0) - 1)
         def _():
@@ -83,7 +106,7 @@ def knn_chunk_pallas(queries: jax.Array, corpus: jax.Array, k: int,
 
     grid = (pn // tile_n,)
     vals, idx = pl.pallas_call(
-        _make_kernel(pk, tile_n, n),
+        _make_kernel(k, tile_n, n),
         grid=grid,
         in_specs=[
             pl.BlockSpec((pb, pd), lambda t: (0, 0),
