@@ -89,7 +89,7 @@ def _make_kernel(k: int, tile_n: int, n_total: int):
 @functools.partial(jax.jit,
                    static_argnames=("k", "tile_n", "interpret"))
 def knn_chunk_pallas(queries: jax.Array, corpus: jax.Array, k: int,
-                     tile_n: int = 2048, interpret: bool = False):
+                     tile_n: int = 512, interpret: bool = False):
     """Exact top-k nearest corpus rows per query (ascending distances),
     same contract as ops.topk.knn_chunk."""
     bq, dim = queries.shape
