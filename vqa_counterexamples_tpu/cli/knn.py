@@ -2,8 +2,8 @@
 
 Fits exact k=25 nearest neighbors over the extracted `noatt` feature matrix
 with the brute-force matmul top-k (ops/topk.py) instead of sklearn's CPU
-ball-tree — full COCO-train (82,783 x 2048) self-kNN runs in ~19 s on one
-v5e chip with ``--approx`` (recall 0.9998) or ~138 s exact — and writes:
+ball-tree — full COCO-train (82,783 x 2048) self-kNN runs in ~20 s on one
+v5e chip (exact; ``--approx`` similar at recall 0.9998) — and writes:
 
 * ``knn_results.npy`` — {'indices', 'distances'} (the reference's artifact,
   knn.py:55-58), and
