@@ -27,6 +27,10 @@ def main(argv=None):
     parser.add_argument("--dataset", default="noatt", type=str)
     parser.add_argument("-k", "--n_neighbors", default=25, type=int)
     parser.add_argument("-b", "--batch_size", default=1024, type=int)
+    parser.add_argument("--engine", default="xla",
+                        choices=["xla", "pallas"],
+                        help="pallas = fused distance+top-k kernel (no HBM "
+                             "distance matrix)")
     parser.add_argument("--approx", action="store_true",
                         help="TPU-native approx_max_k (recall 0.999), much "
                              "faster on large corpora")
@@ -46,7 +50,8 @@ def main(argv=None):
     print("Loaded %d features of dim %d" % store.features.shape)
 
     dist, idx = topk.knn(store.features, k=args.n_neighbors,
-                         batch_size=args.batch_size, approx=args.approx)
+                         batch_size=args.batch_size, approx=args.approx,
+                         engine=args.engine)
 
     out = args.out or (args.path_features + "_knn_results.npy")
     np.save(out, {"indices": idx, "distances": dist})

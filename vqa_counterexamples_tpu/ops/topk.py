@@ -47,24 +47,34 @@ def knn_chunk(queries: jax.Array, corpus: jax.Array, k: int,
 
 
 def knn(features, k: int = 25, queries=None, batch_size: int = 1024,
-        approx: bool = False):
+        approx: bool = False, engine: str = "xla"):
     """Host-driver over query chunks; features stay device-resident.
 
     ``queries`` defaults to ``features`` (self-kNN, the extract->knn pipeline
     case).  Pads the final chunk to keep shapes static under jit.
+
+    ``engine``: 'xla' (default) or 'pallas' — the fused distance+top-k kernel
+    (ops/pallas/knn_kernel.py) that never materializes the (Bq, N) distance
+    matrix in HBM.  ``approx`` applies to the xla engine only.
     """
     import numpy as np
 
     corpus = jnp.asarray(features)
     qs = corpus if queries is None else jnp.asarray(queries)
     n = qs.shape[0]
+    if engine == "pallas":
+        from .pallas.knn_kernel import knn_chunk_pallas
+        batch_size = min(batch_size, 256)  # VMEM budget (q + tile + topk)
     all_dist, all_idx = [], []
     for start in range(0, n, batch_size):
         chunk = qs[start:start + batch_size]
         pad = batch_size - chunk.shape[0]
         if pad:
             chunk = jnp.pad(chunk, ((0, pad), (0, 0)))
-        dist, idx = knn_chunk(chunk, corpus, k, approx=approx)
+        if engine == "pallas":
+            dist, idx = knn_chunk_pallas(chunk, corpus, k)
+        else:
+            dist, idx = knn_chunk(chunk, corpus, k, approx=approx)
         if pad:
             dist, idx = dist[:-pad], idx[:-pad]
         all_dist.append(np.asarray(dist))
