@@ -74,7 +74,13 @@ def load_real_data(options, args):
     from ..data import vqacx
     from ..data.features import FeatureStore
 
-    base = os.path.join(options["vqa"]["path_trainset"], "pickle")
+    # the augmented pickles live in <path_trainset>/pickle/ (the reference
+    # uses a pickle_old/ subdir, counterexamples.py:185) or directly in
+    # path_trainset (cli/build_vqacx --out_dir)
+    root = options["vqa"]["path_trainset"]
+    base = os.path.join(root, "pickle")
+    if not os.path.isdir(base):
+        base = root
     train_name = ("trainset_augmented_small.pickle" if args.dev_mode
                   else "trainset_augmented.pickle")
     trainset = vqacx.load_dataset(os.path.join(base, train_name))
