@@ -136,19 +136,21 @@ def eval_model(eval_step, params, features, arrays: vqacx.CXArrays,
                pairwise_eval_step=None, rng=None) -> dict:
     """Full-dataset eval (reference eval_model, counterexamples.py:450-490):
     returns {'loss', 'recall'} (+ recall@1; + pairwise metrics if requested)."""
-    totals = {"loss_sum": 0.0, "correct": 0.0, "correct1": 0.0}
+    # keep dispatch asynchronous: collect device scalars, sync once at the
+    # end (a per-batch float() costs a full host round-trip per batch)
+    outs = []
     n_total = 0
     step = 0
     for idx, n_valid in vqacx.batch_indices(arrays.size, batch_size,
                                             shuffle=False):
         batch = vqacx.gather_batch(arrays, idx)
-        out = eval_step(params, features, batch,
-                        jnp.asarray(n_valid, jnp.float32),
-                        jnp.asarray(step, jnp.int32))
-        for key in totals:
-            totals[key] += float(out[key])
+        outs.append(eval_step(params, features, batch,
+                              jnp.asarray(n_valid, jnp.float32),
+                              jnp.asarray(step, jnp.int32)))
         n_total += n_valid
         step += 1
+    totals = {key: float(sum(out[key] for out in outs))
+              for key in ("loss_sum", "correct", "correct1")}
     results = {"loss": totals["loss_sum"] / n_total,
                "recall": totals["correct"] / n_total,
                "recall_1": totals["correct1"] / n_total}
