@@ -64,30 +64,51 @@ class VQAArrays:
                 rng: np.random.Generator | None = None,
                 drop_remainder: bool = False,
                 device_features=None) -> Iterator[dict]:
-        """Yield {visual|visual_rows, question, answer, question_id} batches.
+        """Yield {visual, question, answer, question_id} batches.
 
         When ``device_features`` is given (an HBM-resident jax array), the
-        batch carries row indices and the engine gathers on device; otherwise
-        the host gathers feature rows (att-map case).
+        batch carries an on-device gather; otherwise the host gathers feature
+        rows (att-map case) with the NEXT batch's gather prefetched on a
+        worker thread while the device runs the current one (the role of the
+        reference loader's worker processes, dataloader.py:126-155).
         """
+        from concurrent.futures import ThreadPoolExecutor
+
         rng = rng or np.random.default_rng()
         order = np.arange(self.size)
         if shuffle:
             rng.shuffle(order)
-        for start in range(0, self.size, batch_size):
-            idx = order[start:start + batch_size]
-            if drop_remainder and idx.shape[0] < batch_size:
-                return
-            batch = {
+
+        starts = list(range(0, self.size, batch_size))
+        if drop_remainder:
+            starts = [s for s in starts if s + batch_size <= self.size]
+
+        def idx_at(i):
+            return order[starts[i]:starts[i] + batch_size]
+
+        def assemble(i, visual):
+            idx = idx_at(i)
+            return {
                 "question": self.question_wids[idx],
                 "answer": self.sample_answers(idx, rng),
                 "question_id": self.question_ids[idx],
+                "visual": visual,
             }
-            if device_features is not None:
-                import jax.numpy as jnp
-                batch["visual"] = jnp.take(
-                    device_features,
-                    jnp.asarray(self.image_rows[idx]), axis=0)
-            else:
-                batch["visual"] = self.store.gather_rows(self.image_rows[idx])
-            yield batch
+
+        if device_features is not None:
+            import jax.numpy as jnp
+            for i in range(len(starts)):
+                rows = jnp.asarray(self.image_rows[idx_at(i)])
+                yield assemble(i, jnp.take(device_features, rows, axis=0))
+            return
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            future = pool.submit(self.store.gather_rows,
+                                 self.image_rows[idx_at(0)]) \
+                if starts else None
+            for i in range(len(starts)):
+                visual = future.result()
+                if i + 1 < len(starts):
+                    future = pool.submit(self.store.gather_rows,
+                                         self.image_rows[idx_at(i + 1)])
+                yield assemble(i, visual)
