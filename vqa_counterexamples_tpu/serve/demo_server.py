@@ -222,6 +222,19 @@ def main(argv=None):
 
     engine = DemoEngine(options, vqa_params, cnn_params, vocab_words,
                         vocab_answers, attention)
+
+    # warm the jitted predict path now so the first user request is served at
+    # steady-state latency (~0.2 s) instead of paying the compile
+    print("Warming up the predict path (first compile)...")
+    import numpy as np
+    from PIL import Image as PILImage
+
+    dummy = PILImage.fromarray(
+        (np.zeros((size, size, 3))).astype("uint8"))
+    buf = io.BytesIO()
+    dummy.save(buf, format="JPEG")
+    engine.answer(base64.b64encode(buf.getvalue()).decode(), "warm up")
+
     web_dir = (os.path.join(os.path.dirname(__file__), "demo_web")
                if args.serve_web else None)
     server = ThreadingHTTPServer((args.ip, args.port),
