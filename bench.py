@@ -105,4 +105,24 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # The tunneled TPU occasionally throws transient UNAVAILABLE device
+    # errors right after reconnecting, and a poisoned backend can't retry
+    # in-process — re-exec in a fresh interpreter up to 3 times so a single
+    # flake doesn't lose the round's number.
+    import subprocess
+    import sys
+
+    if os.environ.get("VQACX_BENCH_INNER") == "1":
+        main()
+    else:
+        rc = 1
+        for attempt in range(3):
+            rc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env={**os.environ, "VQACX_BENCH_INNER": "1"}).returncode
+            if rc == 0:
+                break
+            print("bench attempt %d failed (rc=%d); retrying in 120s"
+                  % (attempt + 1, rc), file=sys.stderr, flush=True)
+            time.sleep(120)
+        sys.exit(rc)

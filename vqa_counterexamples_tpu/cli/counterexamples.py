@@ -64,8 +64,23 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("-dev", "--dev_mode", action="store_true")
     parser.add_argument("--synthetic", type=int, default=0, metavar="N",
                         help="run on N synthetic examples instead of COCO")
+    parser.add_argument("--mesh", type=str, default=None,
+                        help="data-parallel mesh spec, e.g. 'data=8': shards "
+                             "the batch over devices, replicates params "
+                             "(gradient all-reduce over ICI)")
     parser.add_argument("--seed", type=int, default=42)
     return parser
+
+
+def parse_mesh(spec: str | None):
+    """'data=8' or 'data=4,model=2' -> axes dict."""
+    if not spec:
+        return None
+    axes = {}
+    for part in spec.split(","):
+        name, _, size = part.partition("=")
+        axes[name.strip()] = int(size)
+    return axes
 
 
 def load_real_data(options, args):
@@ -241,6 +256,28 @@ def main(argv=None):
         state, info, start_epoch, best_recall = ckpt_lib.load_cx_checkpoint(
             state, save_dir, resume_best=args.best)
 
+    # ---- optional data-parallel mesh (the TPU-native nn.DataParallel) ----
+    mesh = None
+    axes = parse_mesh(args.mesh)
+    if axes:
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel import make_mesh
+
+        n_dev = 1
+        for size in axes.values():
+            n_dev *= size
+        if batch_size % axes.get("data", 1) != 0:
+            raise ValueError("batch_size %d must divide over data=%d"
+                             % (batch_size, axes.get("data", 1)))
+        mesh = make_mesh(axes, jax.devices()[:n_dev])
+        repl = NamedSharding(mesh, P())
+        state = jax.device_put(state, repl)
+        features_train = jax.device_put(features_train, repl)
+        features_val = jax.device_put(features_val, repl)
+        print("=> Mesh %s over %d devices" % (axes, n_dev))
+
     # ---- engines ----
     train_step = (cx_engine.make_cx_train_step(
         cx_model, optimizer, recall_k=1 if args.pairwise else 5,
@@ -253,7 +290,7 @@ def main(argv=None):
         return cx_engine.eval_model(
             eval_step, st.params, features_val, val_arrays, batch_size,
             pairwise=args.pairwise, pairwise_eval_step=eval_step,
-            rng=np.random.default_rng(123))
+            rng=np.random.default_rng(123), mesh=mesh)
 
     # ---- train loop (reference :293-371) ----
     print("=> Starting training...")
@@ -275,7 +312,7 @@ def main(argv=None):
                 train_step, state, features_train, train_arrays, batch_size,
                 pairwise=args.pairwise, rng=rng, log_fn=log_fn,
                 print_freq=args.print_freq,
-                eval_fn=run_eval, eval_freq=args.eval_freq)
+                eval_fn=run_eval, eval_freq=args.eval_freq, mesh=mesh)
         else:
             eval_results = run_eval(state)
         for k, v in eval_results.items():
@@ -304,7 +341,7 @@ def main(argv=None):
         test_results = cx_engine.eval_model(
             eval_step, state.params, features_val, test_arrays, batch_size,
             pairwise=args.pairwise, pairwise_eval_step=eval_step,
-            rng=np.random.default_rng(123))
+            rng=np.random.default_rng(123), mesh=mesh)
         test_results = {k: float(v) for k, v in test_results.items()}
         test_results["best_epoch"] = best_epoch
         with open(os.path.join(save_dir, "final_results.txt"), "w") as f:

@@ -131,9 +131,24 @@ def make_cx_eval_step(model, *, recall_k: int = 5, base_seed: int = 123,
     return eval_step
 
 
+def _mesh_ctx(mesh):
+    import contextlib
+
+    return jax.set_mesh(mesh) if mesh is not None \
+        else contextlib.nullcontext()
+
+
+def _maybe_shard(batch, mesh):
+    if mesh is None:
+        return batch
+    from ..parallel.sharding import shard_batch
+
+    return shard_batch(batch, mesh)
+
+
 def eval_model(eval_step, params, features, arrays: vqacx.CXArrays,
                batch_size: int, *, pairwise: bool = False,
-               pairwise_eval_step=None, rng=None) -> dict:
+               pairwise_eval_step=None, rng=None, mesh=None) -> dict:
     """Full-dataset eval (reference eval_model, counterexamples.py:450-490):
     returns {'loss', 'recall'} (+ recall@1; + pairwise metrics if requested)."""
     # keep dispatch asynchronous: collect device scalars, sync once at the
@@ -143,10 +158,11 @@ def eval_model(eval_step, params, features, arrays: vqacx.CXArrays,
     step = 0
     for idx, n_valid in vqacx.batch_indices(arrays.size, batch_size,
                                             shuffle=False):
-        batch = vqacx.gather_batch(arrays, idx)
-        outs.append(eval_step(params, features, batch,
-                              jnp.asarray(n_valid, jnp.float32),
-                              jnp.asarray(step, jnp.int32)))
+        batch = _maybe_shard(vqacx.gather_batch(arrays, idx), mesh)
+        with _mesh_ctx(mesh):
+            outs.append(eval_step(params, features, batch,
+                                  jnp.asarray(n_valid, jnp.float32),
+                                  jnp.asarray(step, jnp.int32)))
         n_total += n_valid
         step += 1
     totals = {key: float(sum(out[key] for out in outs))
@@ -178,7 +194,7 @@ def train_epoch(train_step, state: CXTrainState, features,
                 arrays: vqacx.CXArrays, batch_size: int, *,
                 pairwise: bool = False, rng=None,
                 log_fn=None, print_freq: int = 100,
-                eval_fn=None, eval_freq: int = -1):
+                eval_fn=None, eval_freq: int = -1, mesh=None):
     """One epoch over shuffled batches (reference counterexamples.py:312-361).
 
     ``log_fn(step_in_epoch, metrics)`` fires every print_freq batches;
@@ -193,9 +209,10 @@ def train_epoch(train_step, state: CXTrainState, features,
     for b, (idx, n_valid) in enumerate(
             vqacx.batch_indices(view.size, batch_size, shuffle=True, rng=rng),
             start=1):
-        batch = vqacx.gather_batch(view, idx)
-        state, metrics = train_step(state, features, batch,
-                                    jnp.asarray(n_valid, jnp.float32))
+        batch = _maybe_shard(vqacx.gather_batch(view, idx), mesh)
+        with _mesh_ctx(mesh):
+            state, metrics = train_step(state, features, batch,
+                                        jnp.asarray(n_valid, jnp.float32))
         n_seen += n_valid
         if log_fn is not None and b % print_freq == 0:
             m = {"loss": float(metrics["loss"]),
