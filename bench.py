@@ -116,13 +116,16 @@ if __name__ == "__main__":
         main()
     else:
         rc = 1
+        delays = [120, 600]  # a wedged chip takes tens of minutes to recover
         for attempt in range(3):
             rc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
                 env={**os.environ, "VQACX_BENCH_INNER": "1"}).returncode
             if rc == 0:
                 break
-            print("bench attempt %d failed (rc=%d); retrying in 120s"
-                  % (attempt + 1, rc), file=sys.stderr, flush=True)
-            time.sleep(120)
+            if attempt < len(delays):
+                print("bench attempt %d failed (rc=%d); retrying in %ds"
+                      % (attempt + 1, rc, delays[attempt]),
+                      file=sys.stderr, flush=True)
+                time.sleep(delays[attempt])
         sys.exit(rc)
