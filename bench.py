@@ -115,16 +115,25 @@ if __name__ == "__main__":
     if os.environ.get("VQACX_BENCH_INNER") == "1":
         main()
     else:
+        import shutil
+
         rc = 1
         delays = [120, 600]  # a wedged chip takes tens of minutes to recover
+        cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 ".jax_cache")
         for attempt in range(3):
             rc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
                 env={**os.environ, "VQACX_BENCH_INNER": "1"}).returncode
             if rc == 0:
                 break
+            # a process killed mid-compile can leave a corrupt persistent
+            # cache entry that fails every subsequent run identically —
+            # clear the cache so the retry recompiles from scratch
+            shutil.rmtree(cache_dir, ignore_errors=True)
             if attempt < len(delays):
-                print("bench attempt %d failed (rc=%d); retrying in %ds"
+                print("bench attempt %d failed (rc=%d); cleared compile "
+                      "cache, retrying in %ds"
                       % (attempt + 1, rc, delays[attempt]),
                       file=sys.stderr, flush=True)
                 time.sleep(delays[attempt])
