@@ -118,7 +118,7 @@ if __name__ == "__main__":
         import shutil
 
         rc = 1
-        delays = [120, 600]  # a wedged chip takes tens of minutes to recover
+        delays = [180, 600]  # a wedged chip takes tens of minutes to recover
         cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  ".jax_cache")
         for attempt in range(3):
@@ -127,14 +127,18 @@ if __name__ == "__main__":
                 env={**os.environ, "VQACX_BENCH_INNER": "1"}).returncode
             if rc == 0:
                 break
-            # a process killed mid-compile can leave a corrupt persistent
-            # cache entry that fails every subsequent run identically —
-            # clear the cache so the retry recompiles from scratch
-            shutil.rmtree(cache_dir, ignore_errors=True)
+            cleared = ""
+            if attempt == 1:
+                # last resort before the final attempt: a process killed
+                # mid-compile can leave a corrupt persistent cache entry that
+                # fails every run identically — recompile from scratch.
+                # (Do NOT clear on the first failure: transient device
+                # errors are more common and the warm cache is valuable.)
+                shutil.rmtree(cache_dir, ignore_errors=True)
+                cleared = " (cleared compile cache)"
             if attempt < len(delays):
-                print("bench attempt %d failed (rc=%d); cleared compile "
-                      "cache, retrying in %ds"
-                      % (attempt + 1, rc, delays[attempt]),
+                print("bench attempt %d failed (rc=%d)%s; retrying in %ds"
+                      % (attempt + 1, rc, cleared, delays[attempt]),
                       file=sys.stderr, flush=True)
                 time.sleep(delays[attempt])
         sys.exit(rc)
