@@ -3,9 +3,14 @@
 Runs a pretrained ResNet-152 over a directory of JPEGs (448x448, ImageNet
 normalization) and writes, per split:
 
-* ``{split}set.hdf5`` with datasets ``att`` (N, 14, 14, 2048) NHWC and
-  ``noatt`` (N, 2048) — the true spatial mean of ``att``
-  (extract.py:123-124 semantics);
+* ``{split}set.att.npy`` (C-order float32, written incrementally through a
+  memmap) — the att maps (N, 14, 14, 2048) NHWC; this is the layout the
+  native C++ mmap store (data/native_store.py) gathers from, so att-mode
+  training streams rows without materializing the ~130 GB matrix
+  (``--att_store hdf5`` instead writes an ``att`` dataset into the .hdf5
+  for strict reference-format parity, ``both`` writes both);
+* ``{split}set.hdf5`` with dataset ``noatt`` (N, 2048) — the true spatial
+  mean of ``att`` (extract.py:123-124 semantics);
 * ``{split}set.npy`` fast-path copy of ``noatt``;
 * ``{split}set.txt`` — image names in row order (the name<->index contract,
   extract.py:148-150).
@@ -32,6 +37,10 @@ def build_parser():
     parser.add_argument("--arch", default="fbresnet152", type=str)
     parser.add_argument("--mode", default="both", type=str,
                         choices=["att", "noatt", "both"])
+    parser.add_argument("--att_store", default="npy", type=str,
+                        choices=["npy", "hdf5", "both"],
+                        help="att-map container: npy engages the native mmap "
+                             "gather path; hdf5 matches the reference format")
     parser.add_argument("--size", default=448, type=int)
     parser.add_argument("-b", "--batch_size", default=80, type=int)
     parser.add_argument("--workers", default=8, type=int)
@@ -97,12 +106,18 @@ def main(argv=None):
     import h5py
 
     spatial = args.size // 32
+    want_att = args.mode in ("att", "both")
+    att_npy_tmp = prefix + ".att.tmp.npy"
     with h5py.File(prefix + ".hdf5", "w") as h5, \
             ThreadPoolExecutor(max_workers=args.workers) as pool:
-        ds_att = None
-        if args.mode in ("att", "both"):
+        ds_att = mm_att = None
+        if want_att and args.att_store in ("hdf5", "both"):
             ds_att = h5.create_dataset(
                 "att", (n, spatial, spatial, 2048), dtype="f4")
+        if want_att and args.att_store in ("npy", "both"):
+            mm_att = np.lib.format.open_memmap(
+                att_npy_tmp, mode="w+", dtype=np.float32,
+                shape=(n, spatial, spatial, 2048))
         ds_noatt = h5.create_dataset("noatt", (n, 2048), dtype="f4")
 
         def decode_batch(start):
@@ -120,14 +135,23 @@ def main(argv=None):
                 future = pool.submit(decode_batch, nxt)
             att, noatt = forward(jnp.asarray(batch))
             end = start + batch.shape[0]
-            if ds_att is not None:
-                ds_att[start:end] = np.asarray(att, dtype=np.float32)
+            if ds_att is not None or mm_att is not None:
+                att_host = np.asarray(att, dtype=np.float32)
+                if ds_att is not None:
+                    ds_att[start:end] = att_host
+                if mm_att is not None:
+                    mm_att[start:end] = att_host
             ds_noatt[start:end] = np.asarray(noatt, dtype=np.float32)
             done = end
             if (start // args.batch_size) % 10 == 0:
                 rate = done / (time.time() - t0)
                 print("  %d/%d (%.1f images/sec)" % (done, n, rate))
         noatt_all = ds_noatt[:]
+        if mm_att is not None:
+            mm_att.flush()
+            del mm_att
+    if want_att and args.att_store in ("npy", "both"):
+        os.replace(att_npy_tmp, prefix + ".att.npy")
     np.save(prefix + ".npy", noatt_all)
     with open(prefix + ".txt", "w") as f:
         for name in names:

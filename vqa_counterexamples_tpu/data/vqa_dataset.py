@@ -68,9 +68,14 @@ class VQAArrays:
 
         When ``device_features`` is given (an HBM-resident jax array), the
         batch carries an on-device gather; otherwise the host gathers feature
-        rows (att-map case) with the NEXT batch's gather prefetched on a
-        worker thread while the device runs the current one (the role of the
+        rows (att-map case) with the NEXT batch's gather prefetched — by the
+        native C++ store's async tickets into ping-pong buffers when the
+        matrix is npy-backed, else on a worker thread (the role of the
         reference loader's worker processes, dataloader.py:126-155).
+
+        On the native path each yielded ``visual`` is a view of a reused
+        buffer, valid until the second following iteration; consume it (the
+        jitted step's host->device copy does) before advancing twice.
         """
         from concurrent.futures import ThreadPoolExecutor
 
@@ -102,10 +107,32 @@ class VQAArrays:
                 yield assemble(i, jnp.take(device_features, rows, axis=0))
             return
 
+        if not starts:
+            return
+
+        # native C++ prefetch ping-pong: the mmap/thread-pool store gathers
+        # batch i+1 into the idle buffer while the device consumes batch i
+        # (reference dataloader.py:126-155 worker role, without the processes)
+        first_rows = self.image_rows[idx_at(0)]
+        row_shape = self.store.row_shape
+        cols = int(np.prod(row_shape))
+        bufs = [np.empty((batch_size, cols), np.float32) for _ in range(2)]
+        ticket = self.store.prefetch_rows(first_rows, bufs[0][:len(first_rows)])
+        if ticket is not None:
+            for i in range(len(starts)):
+                rows = self.image_rows[idx_at(i)]
+                self.store.wait_rows(ticket)
+                if i + 1 < len(starts):
+                    nxt = self.image_rows[idx_at(i + 1)]
+                    ticket = self.store.prefetch_rows(
+                        nxt, bufs[(i + 1) % 2][:len(nxt)])
+                visual = bufs[i % 2][:len(rows)].reshape(len(rows), *row_shape)
+                yield assemble(i, visual)
+            return
+
         with ThreadPoolExecutor(max_workers=1) as pool:
             future = pool.submit(self.store.gather_rows,
-                                 self.image_rows[idx_at(0)]) \
-                if starts else None
+                                 self.image_rows[idx_at(0)])
             for i in range(len(starts)):
                 visual = future.result()
                 if i + 1 < len(starts):
