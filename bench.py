@@ -3,11 +3,11 @@
 Runs the flagship workload — NeuralCX (dim_h=300, n_layers=2) over a
 full-size MutanNoAtt backbone (dim_v=2048, dim_q=2400, R=10, 24 candidates) —
 as end-to-end jitted training steps on synthetic data with reference
-hyperparameters (Adam 1e-4, drop 0.25, BayesianUniSkip encoder) at B=256
-(measured: B=64 ~15k examples/sec on one v5e chip, B=256 ~27k, B=512 ~29k;
-B=256 is the default because the B=512 program's multi-minute cold compile
-intermittently trips the remote compile service — override with
-VQACX_BENCH_BATCH).
+hyperparameters (Adam 1e-4, drop 0.25, BayesianUniSkip encoder) at B=512
+with the first-party Pallas MUTAN kernel in the measured path (measured on
+one v5e chip: B=64 ~15k examples/sec, B=256 ~26.9k XLA = 26.9k Pallas,
+B=512 ~29.0k XLA / 29.8k Pallas — override with VQACX_BENCH_BATCH /
+VQACX_ENABLE_PALLAS=0).
 
 Baseline: the reference publishes no throughput numbers (BASELINE.md).  The
 reference per-step work includes a host-side numpy gather of B x 25 feature
@@ -15,9 +15,13 @@ rows, a ~13 MB H2D copy, a Python loop over 24 candidates and a 10-iteration
 MUTAN loop (counterexamples.py:519-547, cx.py:289-331, fusion.py:100-116);
 we charge it a generous 1,500 examples/sec on its CUDA hardware, so
 ``vs_baseline`` is measured-throughput / 1500.  The driver-set target is
->= 10x (BASELINE.md).
+>= 10x (BASELINE.md).  To ground the number against the hardware roofline
+rather than that assumption, the JSON also carries ``mfu`` — XLA-counted
+train-step FLOPs/sec over the v5e bf16 peak (197 TFLOP/s) — and
+``tflops_per_sec``.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", + mfu
+fields}.
 """
 
 import json
@@ -27,9 +31,14 @@ import time
 import numpy as np
 
 REFERENCE_BASELINE_EXAMPLES_PER_SEC = 1500.0
-BATCH_SIZE = int(os.environ.get("VQACX_BENCH_BATCH", "256"))
+BATCH_SIZE = int(os.environ.get("VQACX_BENCH_BATCH", "512"))
 N_WARMUP = 3
 N_STEPS = 50
+# v5e ("TPU v5 lite") peak: 197 bf16 TFLOP/s per chip
+PEAK_FLOPS = {"TPU v5 lite": 197e12, "TPU v5e": 197e12, "TPU v4": 275e12,
+              "TPU v6 lite": 918e12}
+# the Pallas MUTAN kernel is in the measured path by default (VERDICT r1 #3)
+os.environ.setdefault("VQACX_ENABLE_PALLAS", "1")
 
 
 def main():
@@ -38,9 +47,11 @@ def main():
     # persistent compilation cache: the skip-thoughts train step takes
     # minutes to compile cold; a pre-warmed cache makes fresh runs fast
     try:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.join(os.path.dirname(
-                              os.path.abspath(__file__)), ".jax_cache"))
+        cache_dir = os.environ.get(
+            "VQACX_BENCH_CACHE",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache"))
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
@@ -97,12 +108,35 @@ def main():
     value = BATCH_SIZE * N_STEPS / dt
     n_chips = jax.device_count()
     value_per_chip = value / max(n_chips, 1)
+
+    # roofline grounding: XLA's own flop count for the compiled train step
+    # over the chip's bf16 peak (measured-vs-hardware, not vs the assumed
+    # reference throughput)
+    mfu = tflops = None
+    try:
+        compiled = train_step.lower(state, features, batches[0], nv).compile()
+        analysis = compiled.cost_analysis()
+        if isinstance(analysis, list):  # older jax returns one dict per device
+            analysis = analysis[0]
+        step_flops = float(analysis["flops"])
+        flops_per_sec = step_flops * N_STEPS / dt
+        tflops = round(flops_per_sec / 1e12, 2)
+        peak = PEAK_FLOPS.get(jax.devices()[0].device_kind)
+        if peak:
+            mfu = round(flops_per_sec / peak, 4)
+    except Exception as exc:  # noqa: BLE001 — cost analysis is best-effort
+        print("cost_analysis unavailable: %s" % exc, flush=True)
+
     print(json.dumps({
         "metric": "cx_train_examples_per_sec_per_chip",
         "value": round(value_per_chip, 1),
         "unit": "examples/sec/chip",
         "vs_baseline": round(
             value_per_chip / REFERENCE_BASELINE_EXAMPLES_PER_SEC, 2),
+        "mfu": mfu,
+        "tflops_per_sec": tflops,
+        "batch_size": BATCH_SIZE,
+        "pallas": os.environ.get("VQACX_ENABLE_PALLAS") == "1",
     }))
 
 

@@ -1,0 +1,145 @@
+"""VQA test/test-dev split end-to-end (VERDICT.md round-1 item 6).
+
+trainval training emits OpenEnded submission rows for test2015 and the
+test-dev2015 subset each epoch (reference train.py:130-133,241-262 +
+engine.py:117-153); the dataset factory dispatches 'test'/'testdev' splits
+(reference vqa.py:30-36,63-66,250-267).
+"""
+
+import json
+import os
+import pickle
+
+import numpy as np
+
+TINY_TRAINVAL_YAML = """
+logs:
+  dir_logs: {dir_logs}
+vqa:
+  dataset: VQA2
+  dir: {dir_vqa}
+  trainsplit: trainval
+  nans: 8
+  maxlength: 10
+  minwcount: 0
+  nlp: mcb
+  pad: right
+  samplingans: true
+coco:
+  dir: {dir_coco}
+  arch: tiny
+  mode: noatt
+  size: 64
+model:
+  arch: MutanNoAtt
+  seq2vec:
+    arch: 2-lstm
+    emb_size: 8
+    hidden_size: 10
+  fusion:
+    dim_v: 16
+    dim_q: 20
+    dim_hv: 12
+    dim_hq: 12
+    dim_mm: 12
+    R: 2
+    dropout_v: 0.5
+    dropout_q: 0.5
+    activation_v: tanh
+    activation_q: tanh
+    dropout_hv: 0
+    dropout_hq: 0
+  classif:
+    dropout: 0.5
+optim:
+  lr: 0.001
+  batch_size: 16
+  epochs: 1
+"""
+
+
+def test_trainval_emits_submission_rows(tmp_path):
+    from vqa_counterexamples_tpu.cli import train as train_cli
+
+    dir_logs = tmp_path / "logs"
+    cfg = tmp_path / "tiny_trainval.yaml"
+    cfg.write_text(TINY_TRAINVAL_YAML.format(
+        dir_logs=dir_logs, dir_vqa=tmp_path / "vqa2",
+        dir_coco=tmp_path / "coco"))
+
+    n = 48
+    train_cli.main(["--path_opt", str(cfg), "--synthetic", str(n),
+                    "--epochs", "1", "-b", "16"])
+
+    test_path = os.path.join(
+        dir_logs, "results", "test2015",
+        "vqa_OpenEnded_mscoco_epoch_1.json")
+    testdev_path = os.path.join(
+        dir_logs, "results", "test-dev2015",
+        "vqa_OpenEnded_mscoco_epoch_1.json")
+    assert os.path.exists(test_path) and os.path.exists(testdev_path)
+    with open(test_path) as f:
+        rows = json.load(f)
+    with open(testdev_path) as f:
+        testdev_rows = json.load(f)
+    assert len(rows) == n  # every test example answered, incl. final ragged batch
+    assert 0 < len(testdev_rows) < len(rows)
+    assert all(set(r) == {"question_id", "answer"} for r in rows)
+    qids = {r["question_id"] for r in rows}
+    assert {r["question_id"] for r in testdev_rows} <= qids
+    # checkpoint saved every epoch in trainval mode
+    assert os.path.exists(os.path.join(dir_logs, "ckpt_info.json"))
+
+
+def test_factory_dispatches_test_split(tmp_path):
+    from vqa_counterexamples_tpu.data import factory as data_factory
+    from vqa_counterexamples_tpu.data.features import FeatureStore
+
+    # hand-build processed pickles + a feature store for the test split
+    opt_vqa = {"dataset": "VQA2", "dir": str(tmp_path / "vqa2"),
+               "trainsplit": "trainval", "nans": 4, "maxlength": 5,
+               "minwcount": 0, "nlp": "mcb", "pad": "right"}
+    from vqa_counterexamples_tpu.core.config import options_subdir
+    processed = os.path.join(opt_vqa["dir"], "processed",
+                             options_subdir(dict(opt_vqa,
+                                                 trainsplit="trainval")))
+    os.makedirs(processed)
+
+    def ex(qid, img):
+        return {"question_id": qid, "image_name": img,
+                "question_wids": [1, 2, 0, 0, 0]}
+
+    names = ["COCO_test2015_%012d.jpg" % i for i in range(6)]
+    testset = [ex(100 + i, names[i % 6]) for i in range(10)]
+    testdevset = [testset[i] for i in (1, 3)]
+    with open(os.path.join(processed, "trainvalset.pickle"), "wb") as f:
+        pickle.dump([dict(ex(i, names[0]), answer_aid=0,
+                          answers_aid=[0], answers_count=[10])
+                     for i in range(4)], f)
+    with open(os.path.join(processed, "testset.pickle"), "wb") as f:
+        pickle.dump(testset, f)
+    with open(os.path.join(processed, "testdevset.pickle"), "wb") as f:
+        pickle.dump(testdevset, f)
+    with open(os.path.join(processed, "wid_to_word.pickle"), "wb") as f:
+        pickle.dump({1: "a", 2: "b"}, f)
+    with open(os.path.join(processed, "aid_to_ans.pickle"), "wb") as f:
+        pickle.dump(["yes", "no", "1", "2"], f)
+
+    opt_coco = {"dir": str(tmp_path / "coco"), "arch": "tiny", "size": 64,
+                "mode": "noatt"}
+    feats_dir = os.path.join(opt_coco["dir"], "extract",
+                             "arch,tiny_size,64")
+    os.makedirs(feats_dir)
+    feats = np.random.default_rng(0).normal(size=(6, 16)).astype(np.float32)
+    FeatureStore(feats, names).save(os.path.join(feats_dir, "testset"))
+
+    arrays, words, answers, store = data_factory.factory_vqa_dataset(
+        "test", opt_vqa, opt_coco)
+    assert arrays.size == 10
+    assert arrays.is_qid_testdev == {101, 103}
+    assert answers == ["yes", "no", "1", "2"]
+
+    # 'testdev' split loads only the subset
+    td, _, _, _ = data_factory.factory_vqa_dataset("testdev", opt_vqa,
+                                                   opt_coco)
+    assert td.size == 2

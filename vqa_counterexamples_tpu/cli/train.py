@@ -19,6 +19,8 @@ import numpy as np
 
 
 def build_parser():
+    from ..core.config import str2bool
+
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--path_opt",
                         default="configs/vqa2/mutan_noatt_train.yaml")
@@ -29,7 +31,7 @@ def build_parser():
     parser.add_argument("--start_epoch", default=1, type=int)
     parser.add_argument("--resume", default="", type=str,
                         help="best | ckpt (resume from dir_logs)")
-    parser.add_argument("--save_model", default=True, type=bool)
+    parser.add_argument("--save_model", default=True, type=str2bool)
     parser.add_argument("--save_all_from", type=int,
                         help="keep all checkpoints from this epoch on")
     parser.add_argument("-e", "--evaluate", action="store_true",
@@ -129,10 +131,31 @@ def main(argv=None):
                              samplingans=options["vqa"].get("samplingans",
                                                             False))
     val_arrays = VQAArrays(val_ex, val_store, samplingans=False)
-    device_features = store.to_device() \
-        if options["coco"]["mode"] == "noatt" else None
-    val_device_features = val_store.to_device() \
-        if options["coco"]["mode"] == "noatt" else None
+    noatt = options["coco"]["mode"] == "noatt"
+    device_features = store.to_device() if noatt else None
+    val_device_features = val_store.to_device() if noatt else None
+
+    # trainval training has no held-out val: each epoch emits test2015 +
+    # test-dev2015 submission rows instead (reference train.py:130-133,
+    # 241-262, engine.py:117-153)
+    test_arrays = test_device_features = None
+    if options["vqa"]["trainsplit"] == "trainval":
+        if args.synthetic:
+            test_ex = []
+            for ex in train_ex:
+                ex = {k: v for k, v in ex.items()
+                      if k not in ("answer_aid", "answers_aid",
+                                   "answers_count")}
+                test_ex.append(ex)
+            test_arrays = VQAArrays(test_ex, store)
+            test_arrays.is_qid_testdev = {
+                ex["question_id"] for ex in test_ex[:len(test_ex) // 2]}
+            test_device_features = device_features
+        else:
+            from ..data import factory as data_factory
+            test_arrays, _, _, test_store = data_factory.factory_vqa_dataset(
+                "test", options["vqa"], options["coco"])
+            test_device_features = test_store.to_device() if noatt else None
 
     # ---- model/optim ----
     print("=> Building model...")
@@ -176,7 +199,26 @@ def main(argv=None):
                                   shuffle=False, drop_remainder=True,
                                   device_features=val_device_features)
 
+    def run_test_pass(epoch):
+        """OpenEnded submission rows for test2015 + the test-dev subset
+        (no ground truth; reference engine.test)."""
+        predict = vqa_engine.make_vqa_predict_step(model)
+        loader = test_arrays.batches(options["optim"]["batch_size"],
+                                     shuffle=False,
+                                     device_features=test_device_features)
+        rows = vqa_engine.test_pass(predict, state.params, loader,
+                                    vocab_answers)
+        qids = getattr(test_arrays, "is_qid_testdev", None) or set()
+        testdev_rows = [r for r in rows if r["question_id"] in qids]
+        _save_results(rows, epoch, dir_logs, "test2015")
+        _save_results(testdev_rows, epoch, dir_logs, "test-dev2015")
+        print("Epoch %d test: %d rows (%d test-dev)"
+              % (epoch, len(rows), len(testdev_rows)))
+        return rows, testdev_rows
+
     if args.evaluate:
+        if test_arrays is not None:
+            return run_test_pass(start_epoch - 1)
         res, rows = vqa_engine.validate(eval_step, state.params, val_loader(),
                                         exp, 0, aid_to_ans=vocab_answers,
                                         collect_results=True)
@@ -194,6 +236,17 @@ def main(argv=None):
         state = vqa_engine.train_epoch(train_step, state, train_loader(),
                                        exp, epoch,
                                        print_freq=args.print_freq)
+        if test_arrays is not None:
+            # trainval: no val metrics — checkpoint every epoch and emit
+            # submission rows (reference train.py:241-262)
+            run_test_pass(epoch)
+            exp.to_json(os.path.join(dir_logs, "logger.json"))
+            ckpt_lib.save_vqa_checkpoint(
+                {"epoch": epoch, "best_acc1": best_acc1},
+                state.params, state.opt_state, dir_logs,
+                save_model=args.save_model,
+                save_all_from=args.save_all_from, is_best=False)
+            continue
         res, rows = vqa_engine.validate(eval_step, state.params, val_loader(),
                                         exp, epoch,
                                         aid_to_ans=vocab_answers,

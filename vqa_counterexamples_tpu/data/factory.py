@@ -94,16 +94,29 @@ def factory_vqa_dataset(split: str, opt_vqa: dict, opt_coco: dict,
                         opt_vgenome: dict | None = None):
     """Returns (VQAArrays, vocab_words, vocab_answers, FeatureStore).
 
-    split: 'train' | 'val' | 'trainval' (mirrors factory_VQA's dispatch).
+    split: 'train' | 'val' | 'trainval' | 'test' | 'testdev' (mirrors
+    factory_VQA's dispatch, reference vqa.py:250-267).  For 'test' the
+    returned arrays carry ``is_qid_testdev`` — the set of question ids in
+    the test-dev subset (reference vqa.py:30-36,63-66) — so the trainer can
+    emit both test2015 and test-dev2015 submission files.
     """
     version = 2 if opt_vqa.get("dataset", "VQA2") == "VQA2" else 1
-    processed_dir = ensure_processed(dict(opt_vqa, trainsplit="train"
-                                          if split == "val" else split),
+    base_split = ("trainval" if split in ("test", "testdev")
+                  else "train" if split == "val" else split)
+    processed_dir = ensure_processed(dict(opt_vqa, trainsplit=base_split),
                                      version=version)
     fname = {"train": "trainset", "val": "valset",
-             "trainval": "trainvalset"}[split] + ".pickle"
+             "trainval": "trainvalset", "test": "testset",
+             "testdev": "testdevset"}[split] + ".pickle"
     with open(os.path.join(processed_dir, fname), "rb") as f:
         examples = pickle.load(f)
+    is_qid_testdev = None
+    if split == "test":
+        testdev_path = os.path.join(processed_dir, "testdevset.pickle")
+        if os.path.exists(testdev_path):
+            with open(testdev_path, "rb") as f:
+                is_qid_testdev = {ex["question_id"]
+                                  for ex in pickle.load(f)}
     with open(os.path.join(processed_dir, "wid_to_word.pickle"), "rb") as f:
         wid_to_word = pickle.load(f)
     vocab_words = [wid_to_word[i] for i in sorted(wid_to_word)]
@@ -113,7 +126,8 @@ def factory_vqa_dataset(split: str, opt_vqa: dict, opt_coco: dict,
     feats_dir = os.path.join(
         opt_coco["dir"], "extract",
         "arch,%s_size,%d" % (opt_coco["arch"], opt_coco.get("size", 448)))
-    store_split = "valset" if split == "val" else "trainset"
+    store_split = {"val": "valset", "test": "testset",
+                   "testdev": "testset"}.get(split, "trainset")
     store = FeatureStore.load(os.path.join(feats_dir, store_split),
                               dataset=opt_coco.get("mode", "noatt"))
 
@@ -136,5 +150,6 @@ def factory_vqa_dataset(split: str, opt_vqa: dict, opt_coco: dict,
 
     arrays = VQAArrays(examples, store,
                        samplingans=opt_vqa.get("samplingans", False)
-                       and split != "val")
+                       and split in ("train", "trainval"))
+    arrays.is_qid_testdev = is_qid_testdev
     return arrays, vocab_words, vocab_answers, store
