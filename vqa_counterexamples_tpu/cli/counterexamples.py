@@ -74,13 +74,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 def parse_mesh(spec: str | None):
     """'data=8' or 'data=4,model=2' -> axes dict."""
-    if not spec:
-        return None
-    axes = {}
-    for part in spec.split(","):
-        name, _, size = part.partition("=")
-        axes[name.strip()] = int(size)
-    return axes
+    from ..parallel import parse_mesh as _parse
+
+    return _parse(spec)
 
 
 def load_real_data(options, args):
@@ -274,8 +270,30 @@ def main(argv=None):
         mesh = make_mesh(axes, jax.devices()[:n_dev])
         repl = NamedSharding(mesh, P())
         state = jax.device_put(state, repl)
-        features_train = jax.device_put(features_train, repl)
-        features_val = jax.device_put(features_val, repl)
+        if "model" in axes and axes["model"] > 1:
+            # row-shard the feature corpus over the 'model' axis: each
+            # device holds N/P rows and GSPMD turns the in-step gather into
+            # collectives over ICI, so corpora larger than one chip's HBM
+            # still train (requires N % model == 0; pad upstream otherwise)
+            corpus_sh = NamedSharding(mesh, P("model", None))
+
+            def _row_shard(feats):
+                import numpy as _np
+                feats = _np.asarray(feats)
+                pad = -feats.shape[0] % axes["model"]
+                if pad:  # padded rows are never indexed by any example
+                    feats = _np.concatenate(
+                        [feats, _np.zeros((pad, feats.shape[1]),
+                                          feats.dtype)])
+                return jax.device_put(feats, corpus_sh)
+
+            features_train = _row_shard(features_train)
+            features_val = _row_shard(features_val)
+            print("=> Feature corpus row-sharded over model=%d"
+                  % axes["model"])
+        else:
+            features_train = jax.device_put(features_train, repl)
+            features_val = jax.device_put(features_val, repl)
         print("=> Mesh %s over %d devices" % (axes, n_dev))
 
     # ---- engines ----

@@ -48,6 +48,10 @@ def build_parser():
                         help="torch state_dict .pth to port (else random)")
     parser.add_argument("--synthetic", type=int, default=0, metavar="N",
                         help="extract N random images (smoke mode)")
+    parser.add_argument("--mesh", type=str, default=None,
+                        help="shard each image batch over a device mesh, "
+                             "e.g. 'data=8' (the reference wraps the CNN in "
+                             "nn.DataParallel, extract.py:49)")
     return parser
 
 
@@ -68,10 +72,42 @@ def main(argv=None):
         print("WARNING: no --weights given; extracting with random init "
               "(smoke only)")
 
+    from ..parallel import batch_sharding, mesh_context, mesh_from_spec
+
+    mesh = mesh_from_spec(args.mesh)
+    if mesh is not None:
+        if args.batch_size % mesh.devices.size != 0:
+            raise ValueError("batch_size %d must divide over the %d-device "
+                             "mesh" % (args.batch_size, mesh.devices.size))
+        params = jax.device_put(
+            params, jax.sharding.NamedSharding(
+                mesh, jax.sharding.PartitionSpec()))
+        print("=> Mesh %s over %d devices"
+              % (dict(zip(mesh.axis_names, mesh.devices.shape)),
+                 mesh.devices.size))
+
     @jax.jit
     def forward(batch):
         att = model.apply({"params": params}, batch)     # (B, 14, 14, 2048)
         noatt = jnp.mean(att, axis=(1, 2))               # true spatial mean
+        return att, noatt
+
+    def run_forward(batch_host):
+        """Pad ragged final batches to keep shapes static; shard over the
+        mesh when one is configured."""
+        n_real = batch_host.shape[0]
+        pad = args.batch_size - n_real if mesh is not None else 0
+        if pad:
+            batch_host = np.concatenate(
+                [batch_host, np.zeros((pad,) + batch_host.shape[1:],
+                                      batch_host.dtype)])
+        arr = jnp.asarray(batch_host)
+        if mesh is not None:
+            arr = jax.device_put(arr, batch_sharding(mesh))
+        with mesh_context(mesh):
+            att, noatt = forward(arr)
+        if pad:
+            att, noatt = att[:n_real], noatt[:n_real]
         return att, noatt
 
     # ---- enumerate inputs ----
@@ -133,7 +169,7 @@ def main(argv=None):
             nxt = start + args.batch_size
             if nxt < n:
                 future = pool.submit(decode_batch, nxt)
-            att, noatt = forward(jnp.asarray(batch))
+            att, noatt = run_forward(batch)
             end = start + batch.shape[0]
             if ds_att is not None or mm_att is not None:
                 att_host = np.asarray(att, dtype=np.float32)

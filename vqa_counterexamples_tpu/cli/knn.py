@@ -40,6 +40,10 @@ def main(argv=None):
                         help="also write VQA-format {image_id: [ids]} json")
     parser.add_argument("--split", default="train",
                         choices=["train", "val"])
+    parser.add_argument("--mesh", type=str, default=None,
+                        help="shard the corpus rows over a mesh axis, e.g. "
+                             "'data=8': local top-k per shard + all-gather "
+                             "merge (ops/topk.sharded_knn_chunk)")
     args = parser.parse_args(argv)
 
     from ..data.features import FeatureStore
@@ -49,9 +53,18 @@ def main(argv=None):
     store = FeatureStore.load(args.path_features, dataset=args.dataset)
     print("Loaded %d features of dim %d" % store.features.shape)
 
+    mesh = None
+    if args.mesh:
+        from ..parallel import mesh_from_spec
+
+        mesh = mesh_from_spec(args.mesh)
+        print("=> Mesh %s over %d devices"
+              % (dict(zip(mesh.axis_names, mesh.devices.shape)),
+                 mesh.devices.size))
+
     dist, idx = topk.knn(store.features, k=args.n_neighbors,
                          batch_size=args.batch_size, approx=args.approx,
-                         engine=args.engine)
+                         engine=args.engine, mesh=mesh)
 
     out = args.out or (args.path_features + "_knn_results.npy")
     np.save(out, {"indices": idx, "distances": dist})

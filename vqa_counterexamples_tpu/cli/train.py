@@ -38,6 +38,10 @@ def build_parser():
                         help="evaluate only")
     parser.add_argument("-p", "--print_freq", default=10, type=int)
     parser.add_argument("--synthetic", type=int, default=0, metavar="N")
+    parser.add_argument("--mesh", type=str, default=None,
+                        help="data-parallel mesh spec, e.g. 'data=8': shards "
+                             "each batch over devices, replicates params "
+                             "(gradient all-reduce over ICI)")
     parser.add_argument("--seed", type=int, default=42)
     return parser
 
@@ -168,6 +172,30 @@ def main(argv=None):
     state = vqa_engine.init_vqa_state(model, optimizer, example,
                                       seed=args.seed)
 
+    # ---- optional data-parallel mesh ----
+    mesh = None
+    if args.mesh:
+        import jax
+
+        from ..parallel import mesh_from_spec, replicated
+
+        mesh = mesh_from_spec(args.mesh)
+        if options["optim"]["batch_size"] % mesh.devices.size != 0:
+            raise ValueError("batch_size %d must divide over the %d-device "
+                             "mesh" % (options["optim"]["batch_size"],
+                                       mesh.devices.size))
+        repl = replicated(mesh)
+        state = jax.device_put(state, repl)
+        if device_features is not None:
+            device_features = jax.device_put(device_features, repl)
+        if val_device_features is not None:
+            val_device_features = jax.device_put(val_device_features, repl)
+        if test_device_features is not None:
+            test_device_features = jax.device_put(test_device_features, repl)
+        print("=> Mesh %s over %d devices"
+              % (dict(zip(mesh.axis_names, mesh.devices.shape)),
+                 mesh.devices.size))
+
     exp = Experiment(os.path.basename(dir_logs), options=dict(options))
     meter_set = lambda: {"loss": AvgMeter(), "acc1": AvgMeter(),
                          "acc5": AvgMeter(), "batch_time": AvgMeter(),
@@ -235,7 +263,8 @@ def main(argv=None):
 
         state = vqa_engine.train_epoch(train_step, state, train_loader(),
                                        exp, epoch,
-                                       print_freq=args.print_freq)
+                                       print_freq=args.print_freq,
+                                       mesh=mesh)
         if test_arrays is not None:
             # trainval: no val metrics — checkpoint every epoch and emit
             # submission rows (reference train.py:241-262)
@@ -250,7 +279,7 @@ def main(argv=None):
         res, rows = vqa_engine.validate(eval_step, state.params, val_loader(),
                                         exp, epoch,
                                         aid_to_ans=vocab_answers,
-                                        collect_results=True)
+                                        collect_results=True, mesh=mesh)
         print("Epoch {} val: {}".format(epoch, res))
 
         is_best = res["acc1"] > best_acc1

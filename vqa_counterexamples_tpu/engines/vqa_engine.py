@@ -76,15 +76,30 @@ def make_vqa_eval_step(model) -> Callable:
     return eval_step
 
 
+def _maybe_shard(batch, mesh):
+    if mesh is None:
+        return batch
+    from ..parallel import shard_batch
+
+    return shard_batch(batch, mesh)
+
+
 def train_epoch(train_step, state, loader, experiment, epoch: int,
-                print_freq: int = 10):
-    """Epoch driver with the reference's meter set (engine.py:6-56)."""
+                print_freq: int = 10, mesh=None):
+    """Epoch driver with the reference's meter set (engine.py:6-56).
+
+    With ``mesh``, each batch is sharded over the 'data' axis before the
+    step (params replicated -> XLA all-reduces grads over ICI; the
+    TPU-native ``nn.DataParallel``, reference train.py:139-141)."""
+    from ..parallel import mesh_context
+
     meters = experiment.reset_meters("train")
     end = time.time()
     for i, batch in enumerate(loader):
         batch_size = batch["answer"].shape[0]
         meters["data_time"].update(time.time() - end, n=batch_size)
-        state, m = train_step(state, batch)
+        with mesh_context(mesh):
+            state, m = train_step(state, _maybe_shard(batch, mesh))
         meters["loss"].update(float(m["loss"]), n=batch_size)
         meters["acc1"].update(float(m["acc1"]), n=batch_size)
         meters["acc5"].update(float(m["acc5"]), n=batch_size)
@@ -104,14 +119,17 @@ def train_epoch(train_step, state, loader, experiment, epoch: int,
 
 
 def validate(eval_step, params, loader, experiment, epoch: int,
-             aid_to_ans=None, collect_results: bool = False):
+             aid_to_ans=None, collect_results: bool = False, mesh=None):
     """Validation pass; optionally collects OpenEnded-style result rows
     [{question_id, answer}] (reference engine.py:65-114)."""
+    from ..parallel import mesh_context
+
     meters = experiment.reset_meters("val")
     results = []
     for batch in loader:
         batch_size = batch["answer"].shape[0]
-        m = eval_step(params, batch)
+        with mesh_context(mesh):
+            m = eval_step(params, _maybe_shard(batch, mesh))
         meters["loss"].update(float(m["loss"]), n=batch_size)
         meters["acc1"].update(float(m["acc1"]), n=batch_size)
         meters["acc5"].update(float(m["acc5"]), n=batch_size)

@@ -47,7 +47,8 @@ def knn_chunk(queries: jax.Array, corpus: jax.Array, k: int,
 
 
 def knn(features, k: int = 25, queries=None, batch_size: int = 1024,
-        approx: bool = False, engine: str = "xla"):
+        approx: bool = False, engine: str = "xla", mesh=None,
+        mesh_axis: str = "data"):
     """Host-driver over query chunks; features stay device-resident.
 
     ``queries`` defaults to ``features`` (self-kNN, the extract->knn pipeline
@@ -56,11 +57,30 @@ def knn(features, k: int = 25, queries=None, batch_size: int = 1024,
     ``engine``: 'xla' (default) or 'pallas' — the fused distance+top-k kernel
     (ops/pallas/knn_kernel.py) that never materializes the (Bq, N) distance
     matrix in HBM.  ``approx`` applies to the xla engine only.
+
+    ``mesh``: shard the corpus rows over ``mesh_axis`` and run the
+    local-top-k + all-gather merge (``sharded_knn_chunk``) — each device
+    holds N/P rows, so corpora larger than one chip's HBM still fit.  The
+    corpus is padded to divide evenly with rows pushed to infinite distance.
     """
     import numpy as np
 
-    corpus = jnp.asarray(features)
-    qs = corpus if queries is None else jnp.asarray(queries)
+    if mesh is not None:
+        n_shards = mesh.shape[mesh_axis]
+        feats_host = np.asarray(features, np.float32)
+        pad_rows = -feats_host.shape[0] % n_shards
+        if pad_rows:
+            # pad with far-away rows (huge norm -> -inf score, never top-k)
+            far = np.full((pad_rows, feats_host.shape[1]), 1e4, np.float32)
+            feats_host = np.concatenate([feats_host, far], axis=0)
+        assert feats_host.shape[0] // n_shards >= k, \
+            "each corpus shard must hold at least k rows"
+        corpus = jax.device_put(
+            feats_host, jax.sharding.NamedSharding(mesh, P(mesh_axis, None)))
+    else:
+        corpus = jnp.asarray(features)
+    qs = (jnp.asarray(features) if queries is None
+          else jnp.asarray(queries))
     n = qs.shape[0]
     if engine == "pallas":
         from .pallas.knn_kernel import knn_chunk_pallas
@@ -71,7 +91,10 @@ def knn(features, k: int = 25, queries=None, batch_size: int = 1024,
         pad = batch_size - chunk.shape[0]
         if pad:
             chunk = jnp.pad(chunk, ((0, pad), (0, 0)))
-        if engine == "pallas":
+        if mesh is not None:
+            dist, idx = sharded_knn_chunk(chunk, corpus, k, mesh,
+                                          axis=mesh_axis)
+        elif engine == "pallas":
             dist, idx = knn_chunk_pallas(chunk, corpus, k)
         else:
             dist, idx = knn_chunk(chunk, corpus, k, approx=approx)
