@@ -143,3 +143,37 @@ def test_factory_dispatches_test_split(tmp_path):
     td, _, _, _ = data_factory.factory_vqa_dataset("testdev", opt_vqa,
                                                    opt_coco)
     assert td.size == 2
+
+
+def test_save_results_scores_when_annotations_exist(tmp_path):
+    """Reference train.py:287-288 semantics: the OpenEnded evaluator is
+    spawned automatically after saving val rows when annotations exist."""
+    import time
+
+    from vqa_counterexamples_tpu.cli.train import _save_results
+
+    dir_vqa = tmp_path / "vqa2"
+    ann_dir = dir_vqa / "raw" / "annotations"
+    ann_dir.mkdir(parents=True)
+    ann = {"annotations": [
+        {"question_id": 1,
+         "answers": [{"answer": "yes"}] * 10},
+        {"question_id": 2,
+         "answers": [{"answer": "no"}] * 8 + [{"answer": "blue"}] * 2},
+    ]}
+    (ann_dir / "v2_mscoco_val2014_annotations.json").write_text(
+        json.dumps(ann))
+
+    rows = [{"question_id": 1, "answer": "yes"},
+            {"question_id": 2, "answer": "blue"}]
+    t = _save_results(rows, 3, str(tmp_path / "logs"), "val",
+                      dir_vqa=str(dir_vqa))
+    assert t is not None
+    t.join(timeout=60)
+    acc_path = (tmp_path / "logs" / "results" / "val" /
+                "vqa_OpenEnded_mscoco_epoch_3_accuracy.json")
+    assert acc_path.exists()
+    scores = json.loads(acc_path.read_text())
+    # qid 1 exact (100); qid 2 'blue' matches 2/10 answers -> per-fold
+    # min(cnt/3, 1) averaged over 10-choose-9 folds, strictly below 100
+    assert 50.0 < scores["overall"] < 100.0

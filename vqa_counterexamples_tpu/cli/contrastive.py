@@ -139,6 +139,11 @@ def main(argv=None):
                     writer.add_scalar("contrastive/" + k, v, state.step)
                 print("Epoch {} train: {}".format(
                     epoch, {k: round(v, 4) for k, v in metrics.items()}))
+            if args.eval_freq > 0 and b % args.eval_freq == 0:
+                mid = run_eval()
+                print("Epoch {} eval@{}: {}".format(
+                    epoch, b,
+                    {k: round(float(v), 4) for k, v in mid.items()}))
         eval_results = run_eval()
         print("Epoch {} val: {}".format(
             epoch,

@@ -251,7 +251,8 @@ def main(argv=None):
                                         exp, 0, aid_to_ans=vocab_answers,
                                         collect_results=True)
         print("Evaluate:", res)
-        _save_results(rows, 0, dir_logs, "val")
+        _save_results(rows, 0, dir_logs, "val",
+                      dir_vqa=options["vqa"].get("dir"))
         return res
 
     # ---- epochs ----
@@ -294,19 +295,37 @@ def main(argv=None):
             state.params, state.opt_state, dir_logs,
             save_model=args.save_model, save_all_from=args.save_all_from,
             is_best=is_best)
-        _save_results(rows, epoch, dir_logs, "val")
+        _save_results(rows, epoch, dir_logs, "val",
+                      dir_vqa=options["vqa"].get("dir"))
     return state
 
 
-def _save_results(rows, epoch, dir_logs, split):
-    """OpenEnded result rows (reference train.py:276-288); scored in-repo by
-    cli/eval_res.py instead of the python2 toolkit."""
+def _save_results(rows, epoch, dir_logs, split, dir_vqa=None):
+    """OpenEnded result rows (reference train.py:276-288); when the official
+    annotations are on disk, scoring runs asynchronously on a thread — the
+    in-repo equivalent of the reference's ``os.system('python2 eval_res.py
+    ... &')`` spawn (train.py:287-288)."""
     results_dir = os.path.join(dir_logs, "results", split)
     os.makedirs(results_dir, exist_ok=True)
     path = os.path.join(results_dir,
                         "vqa_OpenEnded_mscoco_epoch_%d.json" % epoch)
     with open(path, "w") as f:
         json.dump(rows, f)
+    if dir_vqa and split == "val":
+        ann = os.path.join(dir_vqa, "raw", "annotations",
+                           "v2_mscoco_val2014_annotations.json")
+        if os.path.exists(ann):
+            import threading
+
+            from . import eval_res
+
+            t = threading.Thread(
+                target=eval_res.main,
+                args=(["--path_results", path, "--path_annotations", ann],),
+                daemon=False)
+            t.start()
+            return t
+    return None
 
 
 if __name__ == "__main__":
