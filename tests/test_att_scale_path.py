@@ -142,3 +142,33 @@ def test_extract_writes_att_npy(tmp_path):
     rows = att.gather_rows(np.arange(6))
     np.testing.assert_allclose(noatt.features, rows.mean(axis=(1, 2)),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_extract_vgenome_images(tmp_path):
+    """VG image extraction: flat raw/images dir, train split only
+    (reference extract.py:66-77, vgenome.py:72-92)."""
+    import pytest
+    from PIL import Image
+
+    from vqa_counterexamples_tpu.cli import extract as extract_cli
+    from vqa_counterexamples_tpu.data.features import FeatureStore
+
+    img_dir = tmp_path / "vgenome" / "raw" / "images"
+    img_dir.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for i in range(5):
+        arr = rng.integers(0, 255, size=(80, 70, 3)).astype(np.uint8)
+        Image.fromarray(arr).save(img_dir / ("%d.jpg" % (100 + i)))
+
+    prefix = extract_cli.main([
+        "--dir_data", str(tmp_path / "vgenome"), "--dataset", "vgenome",
+        "--data_split", "train", "--arch", "resnet50", "--size", "64",
+        "-b", "2", "--mode", "noatt"])
+    store = FeatureStore.load(prefix)
+    assert store.features.shape == (5, 2048)
+    assert store.names == ["%d.jpg" % (100 + i) for i in range(5)]
+
+    with pytest.raises(ValueError, match="train split"):
+        extract_cli.main([
+            "--dir_data", str(tmp_path / "vgenome"), "--dataset", "vgenome",
+            "--data_split", "val", "--arch", "resnet50", "--size", "64"])

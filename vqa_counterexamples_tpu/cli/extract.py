@@ -32,6 +32,11 @@ import numpy as np
 def build_parser():
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--dir_data", default="data/coco", type=str)
+    parser.add_argument("--dataset", default="coco", type=str,
+                        choices=["coco", "vgenome"],
+                        help="coco: raw/{train2014,val2014,test2015}; "
+                             "vgenome: raw/images flat dir (reference "
+                             "extract.py:56-77, vgenome.py:72-92)")
     parser.add_argument("--data_split", default="train", type=str,
                         choices=["train", "val", "test"])
     parser.add_argument("--arch", default="fbresnet152", type=str)
@@ -121,9 +126,16 @@ def main(argv=None):
     else:
         from PIL import Image
 
-        subdir = {"train": "train2014", "val": "val2014",
-                  "test": "test2015"}[args.data_split]
-        img_dir = os.path.join(args.dir_data, "raw", subdir)
+        if args.dataset == "vgenome":
+            # VG images sit in one flat raw/images dir, train split only
+            # (reference extract.py:66-77, vgenome.py:72-92)
+            if args.data_split != "train":
+                raise ValueError("train split is required for vgenome")
+            img_dir = os.path.join(args.dir_data, "raw", "images")
+        else:
+            subdir = {"train": "train2014", "val": "val2014",
+                      "test": "test2015"}[args.data_split]
+            img_dir = os.path.join(args.dir_data, "raw", subdir)
         names = sorted(n for n in os.listdir(img_dir)
                        if n.lower().endswith((".jpg", ".jpeg", ".png")))
 
