@@ -122,8 +122,15 @@ def evaluate(results: list, annotations: dict) -> dict:
         if qid not in annotations:
             continue
         ann = annotations[qid]
-        gts = [normalize_answer(a["answer"]) for a in ann["answers"]]
-        pred = normalize_answer(res["answer"])
+        gts = [a["answer"].replace("\n", " ").replace("\t", " ").strip()
+               for a in ann["answers"]]
+        pred = res["answer"].replace("\n", " ").replace("\t", " ").strip()
+        # official-evaluator quirk (vqaEval.py): normalization applies ONLY
+        # when the 10 humans disagree — and ground truths get punctuation
+        # processing only, never the digit/article/contraction pass
+        if len(set(gts)) > 1:
+            gts = [process_punctuation(g) for g in gts]
+            pred = process_digit_article(process_punctuation(pred))
         fold_accs = []
         for i in range(len(gts)):
             others = gts[:i] + gts[i + 1:]
