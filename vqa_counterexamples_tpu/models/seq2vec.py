@@ -39,14 +39,17 @@ class LSTMEncoder(nn.Module):
         lengths = rnn_ops.process_lengths(wids)
         emb = nn.Embed(self.vocab_size + 1, self.emb_size, name="embedding")(wids)
         emb = emb * (wids != 0)[..., None]  # padding_idx=0 semantics
-        x = emb
+        # stacked layers chain time-major (the scan's native layout); only
+        # the final one-timestep gather leaves it — zero relayout copies
+        x = jnp.swapaxes(emb, 0, 1)
         for layer in range(self.num_layers):
             dim_in = self.emb_size if layer == 0 else self.hidden_size
             params = self.param(
                 f"lstm_{layer}",
                 lambda key, din=dim_in: rnn_ops.lstm_init(key, din, self.hidden_size))
-            x = rnn_ops.lstm_scan(params, x)
-        return rnn_ops.select_last(x, lengths)
+            x = rnn_ops.lstm_scan(params, x, time_major_in=True,
+                                  time_major_out=True)
+        return rnn_ops.select_last_tm(x, lengths)
 
 
 class TwoLSTM(nn.Module):
@@ -66,10 +69,12 @@ class TwoLSTM(nn.Module):
                         lambda k: rnn_ops.lstm_init(k, self.emb_size, self.hidden_size))
         p1 = self.param("lstm_1",
                         lambda k: rnn_ops.lstm_init(k, self.hidden_size, self.hidden_size))
-        x0 = rnn_ops.lstm_scan(p0, x)
-        vec_0 = rnn_ops.select_last(x0, lengths)
-        x1 = rnn_ops.lstm_scan(p1, x0)
-        vec_1 = rnn_ops.select_last(x1, lengths)
+        x0 = rnn_ops.lstm_scan(p0, jnp.swapaxes(x, 0, 1), time_major_in=True,
+                               time_major_out=True)
+        vec_0 = rnn_ops.select_last_tm(x0, lengths)
+        x1 = rnn_ops.lstm_scan(p1, x0, time_major_in=True,
+                               time_major_out=True)
+        vec_1 = rnn_ops.select_last_tm(x1, lengths)
         vec_0 = nn.Dropout(0.3)(vec_0, deterministic=deterministic)
         vec_1 = nn.Dropout(0.3)(vec_1, deterministic=deterministic)
         return jnp.concatenate([vec_0, vec_1], axis=1)
@@ -103,11 +108,12 @@ class SkipThoughts(nn.Module):
             rng = (None if deterministic
                    else self.make_rng("dropout"))
             states = rnn_ops.gru_scan(gru, emb, dropout=self.dropout,
-                                      deterministic=deterministic, rng=rng)
+                                      deterministic=deterministic, rng=rng,
+                                      time_major_out=True)
         else:
             emb = nn.Dropout(self.dropout)(emb, deterministic=deterministic)
-            states = rnn_ops.gru_scan(gru, emb)
-        return rnn_ops.select_last(states, lengths)
+            states = rnn_ops.gru_scan(gru, emb, time_major_out=True)
+        return rnn_ops.select_last_tm(states, lengths)
 
 
 def factory(vocab_words: Sequence[str], opt: dict) -> nn.Module:

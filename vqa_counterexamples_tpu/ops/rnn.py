@@ -40,6 +40,12 @@ def select_last(states: jax.Array, lengths: jax.Array) -> jax.Array:
     return jnp.take_along_axis(states, idx[:, None, None], axis=1)[:, 0, :]
 
 
+def select_last_tm(states_tm: jax.Array, lengths: jax.Array) -> jax.Array:
+    """``select_last`` over time-major states (T, B, H) — no transpose copy."""
+    idx = jnp.clip(lengths - 1, 0, states_tm.shape[0] - 1).astype(jnp.int32)
+    return jnp.take_along_axis(states_tm, idx[None, :, None], axis=0)[0]
+
+
 class GRUParams(NamedTuple):
     w_ih: jax.Array  # (D, 3H)   gate order: r, z, n
     b_ih: jax.Array  # (3H,)
@@ -61,8 +67,14 @@ def gru_init(key: jax.Array, dim_in: int, dim_h: int,
 
 def gru_scan(params: GRUParams, x: jax.Array, *, dropout: float = 0.0,
              deterministic: bool = True, rng: jax.Array | None = None,
-             h0: jax.Array | None = None, unroll: int = 1) -> jax.Array:
-    """Run a GRU over (B, T, D) -> all hidden states (B, T, H)."""
+             h0: jax.Array | None = None, unroll: int = 1,
+             time_major_out: bool = False) -> jax.Array:
+    """Run a GRU over (B, T, D) -> all hidden states (B, T, H).
+
+    With ``time_major_out=True`` returns (T, B, H) — the scan's native
+    layout — for callers that gather one timestep (``select_last_tm``);
+    this skips a (B, T, H) transpose copy of the full state tensor.
+    """
     batch, seq_len, _ = x.shape
     dim_h = params.w_hh.shape[0]
     if h0 is None:
@@ -82,12 +94,16 @@ def gru_scan(params: GRUParams, x: jax.Array, *, dropout: float = 0.0,
 
     from ..core.policy import cast_in, compute_dtype
 
-    # one fused GEMM for every timestep's input projection; matmul operands
-    # follow the compute-dtype policy (bf16 doubles MXU rate), f32 accumulate
-    xc, w_ih = cast_in(x.reshape(batch * seq_len, -1), params.w_ih)
+    # One fused GEMM for every timestep's input projection, computed
+    # TIME-MAJOR: transposing the small (B, T, D) input first means the big
+    # (T*B, 3H) projection lands directly in the scan's (T, B, 3H) layout —
+    # no 287 MB relayout copies of x_proj (measured 2.8 ms/step at B=384).
+    # Matmul operands follow the compute-dtype policy, f32 accumulate.
+    xt = jnp.swapaxes(x, 0, 1)  # (T, B, D): D=620 — a cheap copy
+    xc, w_ih = cast_in(xt.reshape(seq_len * batch, -1), params.w_ih)
     x_proj = jnp.dot(xc, w_ih,
                      preferred_element_type=jnp.float32) + params.b_ih
-    x_proj = x_proj.reshape(batch, seq_len, 3 * dim_h)
+    x_proj = x_proj.reshape(seq_len, batch, 3 * dim_h)
     w_hh = params.w_hh.astype(compute_dtype())
 
     def step(h, xp):
@@ -102,9 +118,8 @@ def gru_scan(params: GRUParams, x: jax.Array, *, dropout: float = 0.0,
         h_new = (1.0 - z) * n + z * h
         return h_new, h_new
 
-    _, states = jax.lax.scan(step, h0, jnp.swapaxes(x_proj, 0, 1),
-                             unroll=unroll)
-    return jnp.swapaxes(states, 0, 1)
+    _, states = jax.lax.scan(step, h0, x_proj, unroll=unroll)
+    return states if time_major_out else jnp.swapaxes(states, 0, 1)
 
 
 class LSTMParams(NamedTuple):
@@ -128,9 +143,19 @@ def lstm_init(key: jax.Array, dim_in: int, dim_h: int,
 
 def lstm_scan(params: LSTMParams, x: jax.Array,
               h0: jax.Array | None = None,
-              c0: jax.Array | None = None) -> jax.Array:
-    """Run an LSTM over (B, T, D) -> all hidden states (B, T, H)."""
-    batch, seq_len, _ = x.shape
+              c0: jax.Array | None = None, *,
+              time_major_in: bool = False,
+              time_major_out: bool = False) -> jax.Array:
+    """Run an LSTM over (B, T, D) -> all hidden states (B, T, H).
+
+    ``time_major_in``/``time_major_out`` accept/produce (T, B, ·) so stacked
+    LSTMs (TwoLSTM) chain in the scan's native layout with zero relayout
+    copies between layers.
+    """
+    if time_major_in:
+        seq_len, batch = x.shape[:2]
+    else:
+        batch, seq_len = x.shape[:2]
     dim_h = params.w_hh.shape[0]
     if h0 is None:
         h0 = jnp.zeros((batch, dim_h), x.dtype)
@@ -139,10 +164,12 @@ def lstm_scan(params: LSTMParams, x: jax.Array,
 
     from ..core.policy import cast_in, compute_dtype
 
-    xc, w_ih = cast_in(x.reshape(batch * seq_len, -1), params.w_ih)
+    # time-major input GEMM: see gru_scan — avoids relayout of (T*B, 4H)
+    xt = x if time_major_in else jnp.swapaxes(x, 0, 1)
+    xc, w_ih = cast_in(xt.reshape(seq_len * batch, -1), params.w_ih)
     x_proj = jnp.dot(xc, w_ih,
                      preferred_element_type=jnp.float32) + params.b_ih
-    x_proj = x_proj.reshape(batch, seq_len, 4 * dim_h)
+    x_proj = x_proj.reshape(seq_len, batch, 4 * dim_h)
     w_hh = params.w_hh.astype(compute_dtype())
 
     def step(carry, xp):
@@ -154,5 +181,5 @@ def lstm_scan(params: LSTMParams, x: jax.Array,
         h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
         return (h_new, c_new), h_new
 
-    _, states = jax.lax.scan(step, (h0, c0), jnp.swapaxes(x_proj, 0, 1))
-    return jnp.swapaxes(states, 0, 1)
+    _, states = jax.lax.scan(step, (h0, c0), x_proj)
+    return states if time_major_out else jnp.swapaxes(states, 0, 1)

@@ -5,6 +5,17 @@ POST ``/`` with JSON ``{"visual": <base64 jpeg>, "question": "..."}`` returns
 with CORS headers — the same contract as the reference (demo_server.py:44-125)
 so the bundled web client (serve/demo_web) works unchanged.
 
+Beyond the reference contract the server adds TPU-friendly serving surface:
+
+* ``POST /batch`` — ``{"items": [{"visual", "question"}, ...]}`` runs every
+  item in ONE device call (images stacked, padded to a power-of-two bucket so
+  at most log2(max_batch) programs ever compile) and returns
+  ``{"results": [...]}`` in order.
+* ``GET /checkpoints`` + ``POST /checkpoint {"name": ...}`` — list / hot-swap
+  VQA checkpoints under ``--ckpt_root`` without restarting or recompiling:
+  params are a *argument* of the jitted predict function, so a swap is just a
+  host->HBM weight copy.
+
 TPU-native serving path: the CNN + VQA forward are one jitted function with
 static shapes (448x448 input, 26-token question); per-request work is b64
 decode + tokenize + one device call.
@@ -17,7 +28,49 @@ import base64
 import io
 import json
 import os
+import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+MAX_BATCH = 32
+
+
+def _next_bucket(n: int, max_batch: int = MAX_BATCH) -> int:
+    """Smallest power-of-two >= n (capped): bounds compile count to log2."""
+    b = 1
+    while b < min(n, max_batch):
+        b *= 2
+    return b
+
+
+def list_checkpoints(root: str) -> list[dict]:
+    """Scan ``root`` for loadable VQA checkpoints.
+
+    A run directory counts if it (or its ``best/`` subdir) holds
+    ``ckpt_model.msgpack`` (core/checkpoint.py layout).  Returns
+    ``[{"name", "path", "best", "epoch"}]`` sorted by name.
+    """
+    out = []
+    if not root or not os.path.isdir(root):
+        return out
+    for name in sorted(os.listdir(root)):
+        run_dir = os.path.join(root, name)
+        if not os.path.isdir(run_dir):
+            continue
+        for sub, is_best in (("best", True), ("", False)):
+            path = os.path.join(run_dir, sub) if sub else run_dir
+            if os.path.isfile(os.path.join(path, "ckpt_model.msgpack")):
+                epoch = None
+                info_path = os.path.join(path, "ckpt_info.json")
+                if os.path.isfile(info_path):
+                    try:
+                        with open(info_path) as f:
+                            epoch = json.load(f).get("epoch")
+                    except Exception:  # noqa: BLE001 — listing is best-effort
+                        pass
+                out.append({"name": name, "path": path, "best": is_best,
+                            "epoch": epoch})
+                break
+    return out
 
 
 class DemoEngine:
@@ -33,30 +86,52 @@ class DemoEngine:
         self.word_to_wid = {w: i + 1 for i, w in enumerate(vocab_words)}
         self.maxlength = options["vqa"].get("maxlength", 26)
         self.pad = options["vqa"].get("pad", "right")
+        self.size = options["coco"].get("size", 448)
         self.tokenize = tokenize_mcb
         self.attention = attention
+        # params are swappable (POST /checkpoint): they are an argument of the
+        # jitted function, so a swap costs one weight upload, zero recompiles
+        self.vqa_params = vqa_params
+        self._params_template = vqa_params
+        self._lock = threading.Lock()
 
         cnn = convnets.factory({"arch": options["coco"]["arch"],
                                 "pooling": False})
         model = factory.factory_vqa(options["model"], tuple(vocab_words),
                                     tuple(vocab_answers))
 
-        def predict(image, wids):
-            att_map = cnn.apply({"params": cnn_params}, image[None])
+        def predict(vqa_params, images, wids):
+            """Batched: images (N,H,W,3) f32, wids (N,T) i32 -> top-5 + att."""
+            att_map = cnn.apply({"params": cnn_params}, images)
             if attention:
                 logits, att = model.apply(
-                    {"params": vqa_params}, att_map, wids[None],
+                    {"params": vqa_params}, att_map, wids,
                     deterministic=True, return_att=True)
             else:
                 visual = jnp.mean(att_map, axis=(1, 2))
                 logits = model.apply({"params": vqa_params}, visual,
-                                     wids[None], deterministic=True)
-                att = jnp.zeros((1, 0, att_map.shape[1] * att_map.shape[2]))
-            probs = jax.nn.softmax(logits, axis=-1)[0]
+                                     wids, deterministic=True)
+                att = jnp.zeros((wids.shape[0], 0,
+                                 att_map.shape[1] * att_map.shape[2]))
+            probs = jax.nn.softmax(logits, axis=-1)
             top_vals, top_idx = jax.lax.top_k(probs, 5)
-            return top_vals, top_idx, att[0]
+            return top_vals, top_idx, att
 
         self._predict = jax.jit(predict)
+
+    def set_params(self, vqa_params) -> None:
+        with self._lock:
+            self.vqa_params = vqa_params
+
+    def load_checkpoint(self, path: str) -> None:
+        """Hot-swap weights from a ``ckpt_model.msgpack`` prefix dir."""
+        from ..core import checkpoint as ckpt_lib
+
+        _, loaded, _ = ckpt_lib.load_vqa_checkpoint(
+            self._params_template, None, path)
+        if loaded is None:
+            raise FileNotFoundError("no loadable checkpoint under %s" % path)
+        self.set_params(loaded)
 
     def encode_question(self, question: str):
         import numpy as np
@@ -71,24 +146,19 @@ class DemoEngine:
             out[self.maxlength - len(wids):] = wids
         return out
 
-    def answer(self, image_b64: str, question: str) -> dict:
-        import numpy as np
+    def _decode_image(self, image_b64: str):
         from PIL import Image
 
         from ..models.convnets import preprocess_image
 
         raw = base64.b64decode(image_b64.split(",")[-1])
         img = Image.open(io.BytesIO(raw)).convert("RGB")
-        image = preprocess_image(img)
-        wids = self.encode_question(question)
-        import jax.numpy as jnp
-        vals, idxs, att = self._predict(jnp.asarray(image),
-                                        jnp.asarray(wids))
-        vals = np.asarray(vals)
-        idxs = np.asarray(idxs)
-        att = np.asarray(att)
+        return preprocess_image(img, size=self.size)
 
-        att_pngs = []
+    def _att_pngs(self, att) -> list:
+        from PIL import Image
+
+        pngs = []
         for g in range(att.shape[0]):
             side = int(round(att.shape[1] ** 0.5))
             att_map = att[g].reshape(side, side)
@@ -97,17 +167,62 @@ class DemoEngine:
                 .resize((112, 112), resample=0)
             buf = io.BytesIO()
             png.save(buf, format="PNG")
-            att_pngs.append(base64.b64encode(buf.getvalue()).decode())
-        return {"ans": [self.vocab_answers[i] for i in idxs],
-                "val": [float(v) for v in vals],
-                "att": att_pngs}
+            pngs.append(base64.b64encode(buf.getvalue()).decode())
+        return pngs
+
+    def answer_batch(self, items: list[dict]) -> list[dict]:
+        """All items in one device call (padded to a power-of-two bucket)."""
+        import numpy as np
+
+        if not items:
+            return []
+        if len(items) > MAX_BATCH:
+            raise ValueError("batch too large: %d > %d"
+                             % (len(items), MAX_BATCH))
+        images = np.stack([self._decode_image(it["visual"]) for it in items])
+        wids = np.stack([self.encode_question(it["question"])
+                         for it in items])
+        n = len(items)
+        bucket = _next_bucket(n)
+        if bucket > n:  # pad tail rows; results are sliced back to n
+            images = np.concatenate(
+                [images, np.zeros((bucket - n,) + images.shape[1:],
+                                  images.dtype)])
+            wids = np.concatenate(
+                [wids, np.zeros((bucket - n, wids.shape[1]), wids.dtype)])
+        import jax.numpy as jnp
+
+        with self._lock:
+            params = self.vqa_params
+        vals, idxs, att = self._predict(params, jnp.asarray(images),
+                                        jnp.asarray(wids))
+        vals = np.asarray(vals)[:n]
+        idxs = np.asarray(idxs)[:n]
+        att = np.asarray(att)[:n]
+        return [{"ans": [self.vocab_answers[i] for i in idxs[j]],
+                 "val": [float(v) for v in vals[j]],
+                 "att": self._att_pngs(att[j])} for j in range(n)]
+
+    def answer(self, image_b64: str, question: str) -> dict:
+        return self.answer_batch(
+            [{"visual": image_b64, "question": question}])[0]
 
 
-def make_handler(engine: DemoEngine, web_dir: str | None):
+def make_handler(engine: DemoEngine, web_dir: str | None,
+                 ckpt_root: str | None = None):
     class Handler(BaseHTTPRequestHandler):
         def _cors(self):
             self.send_header("Access-Control-Allow-Origin", "*")
             self.send_header("Access-Control-Allow-Headers", "Content-Type")
+
+        def _json(self, obj, status=200):
+            data = json.dumps(obj).encode()
+            self.send_response(status)
+            self._cors()
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
 
         def do_OPTIONS(self):
             self.send_response(200)
@@ -115,6 +230,12 @@ def make_handler(engine: DemoEngine, web_dir: str | None):
             self.end_headers()
 
         def do_GET(self):
+            if self.path == "/checkpoints":
+                self._json({"checkpoints": list_checkpoints(ckpt_root)})
+                return
+            if self.path == "/health":
+                self._json({"ok": True})
+                return
             if web_dir is None:
                 self.send_response(404)
                 self.end_headers()
@@ -141,17 +262,22 @@ def make_handler(engine: DemoEngine, web_dir: str | None):
             body = self.rfile.read(length)
             try:
                 payload = json.loads(body)
-                out = engine.answer(payload["visual"], payload["question"])
-                data = json.dumps(out).encode()
-                self.send_response(200)
+                if self.path == "/batch":
+                    out = {"results": engine.answer_batch(payload["items"])}
+                elif self.path == "/checkpoint":
+                    wanted = payload["name"]
+                    match = [c for c in list_checkpoints(ckpt_root)
+                             if c["name"] == wanted]
+                    if not match:
+                        raise KeyError("unknown checkpoint: %s" % wanted)
+                    engine.load_checkpoint(match[0]["path"])
+                    out = {"ok": True, "loaded": match[0]}
+                else:
+                    out = engine.answer(payload["visual"],
+                                        payload["question"])
+                self._json(out)
             except Exception as exc:  # noqa: BLE001 — report to client
-                data = json.dumps({"error": str(exc)}).encode()
-                self.send_response(400)
-            self._cors()
-            self.send_header("Content-Type", "application/json")
-            self.send_header("Content-Length", str(len(data)))
-            self.end_headers()
-            self.wfile.write(data)
+                self._json({"error": str(exc)}, status=400)
 
         def log_message(self, fmt, *args):
             print("[demo]", fmt % args)
@@ -166,6 +292,8 @@ def main(argv=None):
     parser.add_argument("--dir_logs", default=None, type=str,
                         help="VQA checkpoint dir (best/ loaded); random init "
                              "if omitted")
+    parser.add_argument("--ckpt_root", default=None, type=str,
+                        help="dir of run dirs for GET /checkpoints + hot-swap")
     parser.add_argument("--port", default=3456, type=int)
     parser.add_argument("--ip", default="127.0.0.1", type=str)
     parser.add_argument("--vocab_path", default=None, type=str,
@@ -237,8 +365,8 @@ def main(argv=None):
 
     web_dir = (os.path.join(os.path.dirname(__file__), "demo_web")
                if args.serve_web else None)
-    server = ThreadingHTTPServer((args.ip, args.port),
-                                 make_handler(engine, web_dir))
+    server = ThreadingHTTPServer(
+        (args.ip, args.port), make_handler(engine, web_dir, args.ckpt_root))
     print("Serving VQA demo on http://%s:%d" % (args.ip, args.port))
     server.serve_forever()
 

@@ -4,6 +4,45 @@
 
 let imageB64 = null;
 
+// Checkpoint hot-swap: populate the selector from GET /checkpoints (hidden
+// when the server has no --ckpt_root), switch weights via POST /checkpoint.
+(async () => {
+  try {
+    const resp = await fetch(window.location.origin + "/checkpoints");
+    const data = await resp.json();
+    const list = data.checkpoints || [];
+    if (!list.length) return;
+    const row = document.getElementById("ckptrow");
+    const sel = document.getElementById("ckpt");
+    list.forEach((c) => {
+      const o = document.createElement("option");
+      o.value = c.name;
+      o.textContent = c.name + (c.best ? " (best)" : "") +
+        (c.epoch != null ? " @epoch " + c.epoch : "");
+      sel.appendChild(o);
+    });
+    row.hidden = false;
+    sel.addEventListener("change", async () => {
+      const status = document.getElementById("ckptstatus");
+      status.textContent = "loading...";
+      try {
+        const r = await fetch(window.location.origin + "/checkpoint", {
+          method: "POST",
+          headers: { "Content-Type": "application/json" },
+          body: JSON.stringify({ name: sel.value }),
+        });
+        const d = await r.json();
+        if (d.error) throw new Error(d.error);
+        status.textContent = "loaded";
+      } catch (e) {
+        status.textContent = "failed: " + e.message;
+      }
+    });
+  } catch (e) {
+    /* server without checkpoint registry: keep the row hidden */
+  }
+})();
+
 document.getElementById("file").addEventListener("change", (ev) => {
   const file = ev.target.files[0];
   if (!file) return;
