@@ -164,14 +164,25 @@ def load_vqa_checkpoint(model_template: Any, optim_template: Any | None,
     and None, matching the tolerant behavior of reference train.py:344-364.
     """
     info, model_state, optim_state = {}, None, None
-    path_info = os.path.join(path_ckpt, "ckpt_info.json")
-    path_model = os.path.join(path_ckpt, "ckpt_model.msgpack")
-    path_optim = os.path.join(path_ckpt, "ckpt_optim.msgpack")
-    # the "best" prefix stores best_* names instead
-    if not os.path.isfile(path_info):
-        path_info = os.path.join(path_ckpt, "best_info.json")
-        path_model = os.path.join(path_ckpt, "best_model.msgpack")
-        path_optim = os.path.join(path_ckpt, "best_optim.msgpack")
+    # reference semantics (train.py:344-364): path_ckpt is a *prefix* —
+    # ``<dir>/best`` selects the best_* triplet inside <dir> (save_vqa_
+    # checkpoint writes best_model.msgpack next to ckpt_model.msgpack,
+    # not into a best/ subdirectory)
+    if (os.path.basename(path_ckpt) == "best"
+            and not os.path.isdir(path_ckpt)):
+        base = os.path.dirname(path_ckpt)
+        path_info = os.path.join(base, "best_info.json")
+        path_model = os.path.join(base, "best_model.msgpack")
+        path_optim = os.path.join(base, "best_optim.msgpack")
+    else:
+        path_info = os.path.join(path_ckpt, "ckpt_info.json")
+        path_model = os.path.join(path_ckpt, "ckpt_model.msgpack")
+        path_optim = os.path.join(path_ckpt, "ckpt_optim.msgpack")
+        # a dir holding only the best triplet also resolves
+        if not os.path.isfile(path_info):
+            path_info = os.path.join(path_ckpt, "best_info.json")
+            path_model = os.path.join(path_ckpt, "best_model.msgpack")
+            path_optim = os.path.join(path_ckpt, "best_optim.msgpack")
     if os.path.isfile(path_info):
         info = _load_json(path_info)
     else:

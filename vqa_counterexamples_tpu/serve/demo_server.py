@@ -45,9 +45,11 @@ def _next_bucket(n: int, max_batch: int = MAX_BATCH) -> int:
 def list_checkpoints(root: str) -> list[dict]:
     """Scan ``root`` for loadable VQA checkpoints.
 
-    A run directory counts if it (or its ``best/`` subdir) holds
-    ``ckpt_model.msgpack`` (core/checkpoint.py layout).  Returns
-    ``[{"name", "path", "best", "epoch"}]`` sorted by name.
+    A run directory counts if it holds a ``best_model.msgpack`` or
+    ``ckpt_model.msgpack`` triplet (core/checkpoint.py layout; best_* files
+    live NEXT TO ckpt_*, the reference's prefix scheme).  Returns
+    ``[{"name", "path", "best", "epoch"}]`` sorted by name; ``path`` is a
+    ``load_vqa_checkpoint`` prefix (``<run>/best`` for the best triplet).
     """
     out = []
     if not root or not os.path.isdir(root):
@@ -56,17 +58,19 @@ def list_checkpoints(root: str) -> list[dict]:
         run_dir = os.path.join(root, name)
         if not os.path.isdir(run_dir):
             continue
-        for sub, is_best in (("best", True), ("", False)):
-            path = os.path.join(run_dir, sub) if sub else run_dir
-            if os.path.isfile(os.path.join(path, "ckpt_model.msgpack")):
+        for fname, info_name, is_best in (
+                ("best_model.msgpack", "best_info.json", True),
+                ("ckpt_model.msgpack", "ckpt_info.json", False)):
+            if os.path.isfile(os.path.join(run_dir, fname)):
                 epoch = None
-                info_path = os.path.join(path, "ckpt_info.json")
+                info_path = os.path.join(run_dir, info_name)
                 if os.path.isfile(info_path):
                     try:
                         with open(info_path) as f:
                             epoch = json.load(f).get("epoch")
                     except Exception:  # noqa: BLE001 — listing is best-effort
                         pass
+                path = os.path.join(run_dir, "best") if is_best else run_dir
                 out.append({"name": name, "path": path, "best": is_best,
                             "epoch": epoch})
                 break
