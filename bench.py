@@ -92,7 +92,26 @@ def main():
     state = cx_engine.init_cx_state(
         model, optimizer, vqacx.gather_batch(arrays, np.arange(BATCH_SIZE)),
         features)
-    train_step = cx_engine.make_cx_train_step(model, optimizer)
+
+    # The flagship config freezes the VQA backbone (reference
+    # counterexamples.py:77-82 default pretrained, not trainable), so the
+    # question-encoder output is a training constant: precompute it once
+    # (cx_engine.precompute_q_emb) and the per-step 26-timestep GRU
+    # disappears.  Identical numerics (tests/test_q_cache.py); measured
+    # 53.6k vs 32.8k examples/sec at B=384.  VQACX_BENCH_QCACHE=0 restores
+    # the recompute-every-step path.
+    use_q_cache = os.environ.get("VQACX_BENCH_QCACHE", "1") == "1"
+    train_step = cx_engine.make_cx_train_step(model, optimizer,
+                                              use_q_cache=use_q_cache)
+    t0 = time.time()
+    extra = ()
+    if use_q_cache:
+        q_table = cx_engine.precompute_q_emb(model, state.params,
+                                             arrays.question_wids,
+                                             batch_size=2048)
+        jax.block_until_ready(q_table)
+        extra = (q_table,)
+    q_build_s = time.time() - t0
 
     rng = np.random.default_rng(0)
     batches = []
@@ -103,12 +122,14 @@ def main():
     nv = jnp.asarray(float(BATCH_SIZE), jnp.float32)
 
     for i in range(N_WARMUP):
-        state, m = train_step(state, features, batches[i % len(batches)], nv)
+        state, m = train_step(state, features, batches[i % len(batches)], nv,
+                              *extra)
     jax.block_until_ready(state.params)
 
     t0 = time.time()
     for i in range(N_STEPS):
-        state, m = train_step(state, features, batches[i % len(batches)], nv)
+        state, m = train_step(state, features, batches[i % len(batches)], nv,
+                              *extra)
     jax.block_until_ready(state.params)
     dt = time.time() - t0
 
@@ -121,7 +142,8 @@ def main():
     # reference throughput)
     mfu = tflops = None
     try:
-        compiled = train_step.lower(state, features, batches[0], nv).compile()
+        compiled = train_step.lower(state, features, batches[0], nv,
+                                    *extra).compile()
         analysis = compiled.cost_analysis()
         if isinstance(analysis, list):  # older jax returns one dict per device
             analysis = analysis[0]
@@ -144,6 +166,8 @@ def main():
         "tflops_per_sec": tflops,
         "batch_size": BATCH_SIZE,
         "pallas": os.environ.get("VQACX_ENABLE_PALLAS") == "1",
+        "q_cache": use_q_cache,
+        "q_table_build_s": round(q_build_s, 1),
     }))
 
 

@@ -64,6 +64,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("-dev", "--dev_mode", action="store_true")
     parser.add_argument("--synthetic", type=int, default=0, metavar="N",
                         help="run on N synthetic examples instead of COCO")
+    parser.add_argument("--no_q_cache", action="store_true",
+                        help="disable the precomputed frozen-encoder q_emb "
+                             "cache (identical numerics; cache only skips "
+                             "recomputing the frozen GRU every step)")
     parser.add_argument("--mesh", type=str, default=None,
                         help="data-parallel mesh spec, e.g. 'data=8': shards "
                              "the batch over devices, replicates params "
@@ -252,6 +256,20 @@ def main(argv=None):
         state, info, start_epoch, best_recall = ckpt_lib.load_cx_checkpoint(
             state, save_dir, resume_best=args.best)
 
+    # ---- loop-invariant encoder cache (frozen VQA only) ----
+    # q_emb is a constant of training when the backbone is frozen
+    # (reference cx.py:59-60 runs it in eval mode); hoist the 26-step GRU
+    # out of the step.  Bitwise-identical numerics (tests/test_q_cache.py).
+    q_train = q_val = None
+    use_q_cache = (vqa_model is not None and not trainable_vqa
+                   and not args.pairwise and not args.no_q_cache)
+    if use_q_cache:
+        print("=> Precomputing frozen-encoder q_emb cache...")
+        q_train = cx_engine.precompute_q_emb(cx_model, state.params,
+                                             train_arrays.question_wids)
+        q_val = cx_engine.precompute_q_emb(cx_model, state.params,
+                                           val_arrays.question_wids)
+
     # ---- optional data-parallel mesh (the TPU-native nn.DataParallel) ----
     mesh = None
     axes = parse_mesh(args.mesh)
@@ -294,21 +312,26 @@ def main(argv=None):
         else:
             features_train = jax.device_put(features_train, repl)
             features_val = jax.device_put(features_val, repl)
+        if q_train is not None:
+            q_train = jax.device_put(q_train, repl)
+            q_val = jax.device_put(q_val, repl)
         print("=> Mesh %s over %d devices" % (axes, n_dev))
 
     # ---- engines ----
     train_step = (cx_engine.make_cx_train_step(
         cx_model, optimizer, recall_k=1 if args.pairwise else 5,
-        base_seed=args.seed, extra_apply_args=extra_args)
+        base_seed=args.seed, extra_apply_args=extra_args,
+        use_q_cache=use_q_cache)
         if optimizer is not None else None)
     eval_step = cx_engine.make_cx_eval_step(cx_model, recall_k=5,
-                                            extra_apply_args=extra_args)
+                                            extra_apply_args=extra_args,
+                                            use_q_cache=use_q_cache)
 
     def run_eval(st):
         return cx_engine.eval_model(
             eval_step, st.params, features_val, val_arrays, batch_size,
             pairwise=args.pairwise, pairwise_eval_step=eval_step,
-            rng=np.random.default_rng(123), mesh=mesh)
+            rng=np.random.default_rng(123), mesh=mesh, q_table=q_val)
 
     # ---- train loop (reference :293-371) ----
     print("=> Starting training...")
@@ -330,7 +353,8 @@ def main(argv=None):
                 train_step, state, features_train, train_arrays, batch_size,
                 pairwise=args.pairwise, rng=rng, log_fn=log_fn,
                 print_freq=args.print_freq,
-                eval_fn=run_eval, eval_freq=args.eval_freq, mesh=mesh)
+                eval_fn=run_eval, eval_freq=args.eval_freq, mesh=mesh,
+                q_table=q_train)
         else:
             eval_results = run_eval(state)
         for k, v in eval_results.items():
@@ -356,10 +380,13 @@ def main(argv=None):
     if args.test:
         test_arrays = vqacx.CXArrays.from_examples(
             testset["examples_list"], f_val.name_to_index)
+        q_test = (cx_engine.precompute_q_emb(cx_model, state.params,
+                                             test_arrays.question_wids)
+                  if use_q_cache else None)
         test_results = cx_engine.eval_model(
             eval_step, state.params, features_val, test_arrays, batch_size,
             pairwise=args.pairwise, pairwise_eval_step=eval_step,
-            rng=np.random.default_rng(123), mesh=mesh)
+            rng=np.random.default_rng(123), mesh=mesh, q_table=q_test)
         test_results = {k: float(v) for k, v in test_results.items()}
         test_results["best_epoch"] = best_epoch
         with open(os.path.join(save_dir, "final_results.txt"), "w") as f:

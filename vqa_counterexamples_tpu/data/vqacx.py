@@ -185,4 +185,7 @@ def gather_batch(arrays: CXArrays, idx: np.ndarray) -> dict:
         "question_wids": arrays.question_wids[idx],
         "answer_aids": arrays.answer_aids[idx],
         "comp_idxs": arrays.comp_idxs[idx],
+        # row ids into per-dataset side tables (e.g. the precomputed q_emb
+        # cache, engines/cx_engine.precompute_q_emb)
+        "example_idxs": np.asarray(idx, dtype=np.int32),
     }

@@ -36,15 +36,20 @@ class ContrastiveState(NamedTuple):
 
 def make_contrastive_train_step(model, optimizer, *, margin: float = 2.0,
                                 base_seed: int = 42) -> Callable:
+    from .cx_engine import frozen_param_keys, split_params
+
     root = rng_lib.root_key(base_seed)
+    frozen_keys = frozen_param_keys(model)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: ContrastiveState, features, batch, n_valid):
         keys = rng_lib.step_keys(root, state.step, ("dropout", "lesion"))
         batch_size = batch["comp_idxs"].shape[0]
         mask = jnp.arange(batch_size) < n_valid
+        trainable, frozen = split_params(state.params, frozen_keys)
 
-        def loss_fn(params):
+        def loss_fn(trainable):
+            params = {**trainable, **frozen}
             image_features = jnp.take(features, batch["image_idxs"], axis=0)
             h = model.apply({"params": params}, image_features,
                             batch["question_wids"], batch["answer_aids"],
@@ -61,10 +66,10 @@ def make_contrastive_train_step(model, optimizer, *, margin: float = 2.0,
                                             d_comp, d_other)
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params)
+            trainable)
         updates, new_opt_state = optimizer.update(grads, state.opt_state,
-                                                  state.params)
-        new_params = optax.apply_updates(state.params, updates)
+                                                  trainable)
+        new_params = {**optax.apply_updates(trainable, updates), **frozen}
         loss_comp, loss_other, d_comp, d_other = aux
         new_state = ContrastiveState(new_params, new_opt_state,
                                      state.step + 1)

@@ -35,6 +35,29 @@ class CXTrainState(NamedTuple):
     step: jax.Array
 
 
+def frozen_param_keys(model) -> tuple:
+    """Top-level param-tree keys held frozen during CX training.
+
+    The reference hands ``cx_model.parameters()`` to torch Adam
+    (``counterexamples.py:275-276``) but the frozen VQA submodule's params
+    have ``requires_grad=False`` (``cx.py:80``), so torch computes no grads
+    and allocates no optimizer state for them.  Here the train step
+    partitions the tree on these keys: grads, Adam moments and the update
+    touch only the trainable subtree; the frozen subtree rides through the
+    donated state buffer untouched (XLA aliases it — zero HBM traffic,
+    vs ~2ms/step of zero-grad + moment churn for the ~40M frozen params).
+    """
+    if getattr(model, "trainable_vqa", True):
+        return ()
+    return ("vqa_model",)
+
+
+def split_params(params: dict, frozen_keys: tuple):
+    trainable = {k: v for k, v in params.items() if k not in frozen_keys}
+    frozen = {k: v for k, v in params.items() if k in frozen_keys}
+    return trainable, frozen
+
+
 def init_cx_state(model, optimizer, example_batch: dict, features,
                   seed: int = 42, extra_apply_args: tuple = ()) -> CXTrainState:
     """Initialize params from one example batch (shapes only matter)."""
@@ -49,37 +72,90 @@ def init_cx_state(model, optimizer, example_batch: dict, features,
         *extra_apply_args,
         deterministic=True)
     params = variables.get("params", {})
-    opt_state = optimizer.init(params) if optimizer is not None else None
+    trainable, _ = split_params(params, frozen_param_keys(model))
+    opt_state = optimizer.init(trainable) if optimizer is not None else None
     return CXTrainState(params=params, opt_state=opt_state,
                         step=jnp.zeros((), jnp.int32))
 
 
+def precompute_q_emb(model, params, question_wids, batch_size: int = 4096):
+    """Encode every question once through the frozen VQA encoder.
+
+    With ``trainable_vqa=False`` the encoder runs in eval mode
+    (reference cx.py:59-60), so its output for a given question is a
+    constant of training — the per-step 26-timestep GRU is loop-invariant
+    and can be hoisted out of the epoch loop entirely.  Returns an (N, dim_q)
+    device array indexed by ``batch["example_idxs"]``; activations are
+    bitwise what the in-step encoder would produce.  (The reference explored
+    exactly this precomputed-activation cache in ``cache.ipynb``.)
+    """
+    import numpy as np
+
+    wids = np.asarray(question_wids)
+    n = wids.shape[0]
+    chunk = min(batch_size, n)
+
+    @jax.jit
+    def encode(w):
+        return model.apply(
+            {"params": params}, w,
+            method=lambda m, w: m.vqa_model.encode_question(w, True))
+
+    outs = []
+    for i in range(0, n, chunk):
+        block = wids[i:i + chunk]
+        n_valid = block.shape[0]
+        if n_valid < chunk:  # pad to a single compiled shape
+            block = np.concatenate(
+                [block, np.zeros((chunk - n_valid, wids.shape[1]),
+                                 wids.dtype)], axis=0)
+        outs.append(encode(jnp.asarray(block))[:n_valid])
+    return jnp.concatenate(outs, axis=0)
+
+
 def make_cx_train_step(model, optimizer, *, recall_k: int = 5,
                        base_seed: int = 42,
-                       extra_apply_args: tuple = ()) -> Callable:
+                       extra_apply_args: tuple = (),
+                       use_q_cache: bool = False) -> Callable:
     """Returns jitted ``train_step(state, features, batch, n_valid)``.
 
     ``batch`` holds int32 arrays (image_idxs (B,K+1), question_wids (B,T),
     answer_aids (B,), comp_idxs (B,)); ``n_valid`` masks padded tail rows of
     the final short batch.  Loss = CE(scores, comp)/n_valid, matching the
     reference (counterexamples.py:333-334).
+
+    With ``use_q_cache=True`` the step takes a trailing ``q_table`` argument
+    (from :func:`precompute_q_emb`) and the model skips its question encoder
+    — only valid when the VQA backbone is frozen.
     """
     root = rng_lib.root_key(base_seed)
+    frozen_keys = frozen_param_keys(model)
+    if use_q_cache and getattr(model, "trainable_vqa", False):
+        raise ValueError("q_emb cache requires a frozen VQA backbone")
 
     # donate the state: params/opt-state buffers are reused in place, halving
-    # the step's HBM allocation traffic
+    # the step's HBM allocation traffic; the frozen subtree (vqa_model with
+    # trainable_vqa=False) is outside the grad/Adam path entirely and aliases
+    # straight through the donated buffer
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def train_step(state: CXTrainState, features, batch, n_valid):
+    def train_step(state: CXTrainState, features, batch, n_valid,
+                   q_table=None):
         keys = rng_lib.step_keys(root, state.step, ("dropout", "lesion"))
         batch_size = batch["comp_idxs"].shape[0]
         mask = jnp.arange(batch_size) < n_valid
+        trainable, frozen = split_params(state.params, frozen_keys)
+        q_kw = {}
+        if q_table is not None:
+            q_kw = {"q_emb": jnp.take(q_table, batch["example_idxs"],
+                                      axis=0)}
 
-        def loss_fn(params):
+        def loss_fn(trainable):
+            params = {**trainable, **frozen}
             image_features = jnp.take(features, batch["image_idxs"], axis=0)
             scores = model.apply(
                 {"params": params}, image_features, batch["question_wids"],
                 batch["answer_aids"], *extra_apply_args,
-                deterministic=False, rngs=keys)
+                deterministic=False, rngs=keys, **q_kw)
             logp = jax.nn.log_softmax(scores, axis=-1)
             nll = -jnp.take_along_axis(
                 logp, batch["comp_idxs"][:, None].astype(jnp.int32),
@@ -88,10 +164,10 @@ def make_cx_train_step(model, optimizer, *, recall_k: int = 5,
             return loss, scores
 
         (loss, scores), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params)
+            trainable)
         updates, new_opt_state = optimizer.update(grads, state.opt_state,
-                                                  state.params)
-        new_params = optax.apply_updates(state.params, updates)
+                                                  trainable)
+        new_params = {**optax.apply_updates(trainable, updates), **frozen}
         k = min(recall_k, scores.shape[-1])
         correct = jnp.sum(recall_at_k(scores, batch["comp_idxs"], k=k) * mask)
         new_state = CXTrainState(new_params, new_opt_state, state.step + 1)
@@ -102,22 +178,29 @@ def make_cx_train_step(model, optimizer, *, recall_k: int = 5,
 
 
 def make_cx_eval_step(model, *, recall_k: int = 5, base_seed: int = 123,
-                      extra_apply_args: tuple = ()) -> Callable:
+                      extra_apply_args: tuple = (),
+                      use_q_cache: bool = False) -> Callable:
     """Jitted eval: summed CE loss + recall@K counts, masked for padding.
     The 'lesion' stream stays live in eval — the reference draws torch.rand
-    placeholders regardless of mode (cx.py:266-307)."""
+    placeholders regardless of mode (cx.py:266-307).  With
+    ``use_q_cache=True`` takes a trailing ``q_table`` argument
+    (see :func:`precompute_q_emb`)."""
     root = rng_lib.root_key(base_seed)
 
     @jax.jit
-    def eval_step(params, features, batch, n_valid, step):
+    def eval_step(params, features, batch, n_valid, step, q_table=None):
         keys = rng_lib.step_keys(root, step, ("lesion",))
         batch_size = batch["comp_idxs"].shape[0]
         mask = jnp.arange(batch_size) < n_valid
         image_features = jnp.take(features, batch["image_idxs"], axis=0)
+        q_kw = {}
+        if q_table is not None:
+            q_kw = {"q_emb": jnp.take(q_table, batch["example_idxs"],
+                                      axis=0)}
         scores = model.apply(
             {"params": params}, image_features, batch["question_wids"],
             batch["answer_aids"], *extra_apply_args,
-            deterministic=True, rngs=keys)
+            deterministic=True, rngs=keys, **q_kw)
         logp = jax.nn.log_softmax(scores, axis=-1)
         nll = -jnp.take_along_axis(
             logp, batch["comp_idxs"][:, None].astype(jnp.int32), axis=-1)[:, 0]
@@ -148,11 +231,15 @@ def _maybe_shard(batch, mesh):
 
 def eval_model(eval_step, params, features, arrays: vqacx.CXArrays,
                batch_size: int, *, pairwise: bool = False,
-               pairwise_eval_step=None, rng=None, mesh=None) -> dict:
+               pairwise_eval_step=None, rng=None, mesh=None,
+               q_table=None) -> dict:
     """Full-dataset eval (reference eval_model, counterexamples.py:450-490):
-    returns {'loss', 'recall'} (+ recall@1; + pairwise metrics if requested)."""
+    returns {'loss', 'recall'} (+ recall@1; + pairwise metrics if requested).
+    ``q_table``: precomputed encoder table for ``arrays`` (requires an
+    eval_step built with use_q_cache=True)."""
     # keep dispatch asynchronous: collect device scalars, sync once at the
     # end (a per-batch float() costs a full host round-trip per batch)
+    extra = (q_table,) if q_table is not None else ()
     outs = []
     n_total = 0
     step = 0
@@ -162,7 +249,7 @@ def eval_model(eval_step, params, features, arrays: vqacx.CXArrays,
         with _mesh_ctx(mesh):
             outs.append(eval_step(params, features, batch,
                                   jnp.asarray(n_valid, jnp.float32),
-                                  jnp.asarray(step, jnp.int32)))
+                                  jnp.asarray(step, jnp.int32), *extra))
         n_total += n_valid
         step += 1
     totals = {key: float(sum(out[key] for out in outs))
@@ -194,14 +281,21 @@ def train_epoch(train_step, state: CXTrainState, features,
                 arrays: vqacx.CXArrays, batch_size: int, *,
                 pairwise: bool = False, rng=None,
                 log_fn=None, print_freq: int = 100,
-                eval_fn=None, eval_freq: int = -1, mesh=None):
+                eval_fn=None, eval_freq: int = -1, mesh=None,
+                q_table=None):
     """One epoch over shuffled batches (reference counterexamples.py:312-361).
 
     ``log_fn(step_in_epoch, metrics)`` fires every print_freq batches;
     ``eval_fn()`` fires every eval_freq batches and at epoch end, and its last
-    result is returned (reference semantics: info.append(eval_results))."""
+    result is returned (reference semantics: info.append(eval_results)).
+    ``q_table``: precomputed encoder table (requires a train_step built with
+    use_q_cache=True; not available for pairwise views, whose row order is
+    resampled per epoch)."""
     rng = rng or np.random.default_rng()
     view = arrays.pairwise_view(rng) if pairwise else arrays
+    if q_table is not None and pairwise:
+        raise ValueError("q_table cache is not supported with pairwise views")
+    extra = (q_table,) if q_table is not None else ()
     n_batches = (view.size + batch_size - 1) // batch_size
     eval_results = None
     t0 = time.time()
@@ -212,7 +306,8 @@ def train_epoch(train_step, state: CXTrainState, features,
         batch = _maybe_shard(vqacx.gather_batch(view, idx), mesh)
         with _mesh_ctx(mesh):
             state, metrics = train_step(state, features, batch,
-                                        jnp.asarray(n_valid, jnp.float32))
+                                        jnp.asarray(n_valid, jnp.float32),
+                                        *extra)
         n_seen += n_valid
         if log_fn is not None and b % print_freq == 0:
             m = {"loss": float(metrics["loss"]),

@@ -44,7 +44,7 @@ class RandomBaseline(nn.Module):
 
     @nn.compact
     def __call__(self, image_features, question_wids, answer_aids,
-                 deterministic: bool = True):
+                 deterministic: bool = True, q_emb: jax.Array = None):
         batch = image_features.shape[0]
         return _uniform(self, (batch, self.knn_size))
 
@@ -55,7 +55,7 @@ class DistanceBaseline(nn.Module):
 
     @nn.compact
     def __call__(self, image_features, question_wids, answer_aids,
-                 deterministic: bool = True):
+                 deterministic: bool = True, q_emb: jax.Array = None):
         batch = image_features.shape[0]
         row = jnp.arange(self.knn_size - 1, -1, -1, dtype=jnp.float32)
         return jnp.broadcast_to(row[None, :], (batch, self.knn_size))
@@ -69,7 +69,7 @@ class CXModelBase(nn.Module):
     trainable_vqa: bool = False
 
     def vqa_forward(self, image_features: jax.Array, question_wids: jax.Array,
-                    deterministic: bool = True):
+                    deterministic: bool = True, q_emb: jax.Array = None):
         # K+1 comes from the input shape (the reference asserts it equals
         # knn_size+1, cx.py:65, and mutates knn_size for pairwise eval —
         # shape-derived K serves both without mutation).
@@ -80,7 +80,13 @@ class CXModelBase(nn.Module):
         vqa_det = True if not self.trainable_vqa else deterministic
 
         v_emb = image_features.reshape(batch * k1, -1)
-        q_emb = self.vqa_model.encode_question(question_wids, vqa_det)
+        # With a frozen VQA backbone the encoder output is deterministic per
+        # question, so callers may pass a precomputed ``q_emb`` table row
+        # (engines/cx_engine.precompute_q_emb) and skip the 26-step GRU —
+        # bitwise the same activations the encoder would produce (the
+        # reference prototyped exactly this caching in cache.ipynb).
+        if q_emb is None:
+            q_emb = self.vqa_model.encode_question(question_wids, vqa_det)
         if not self.trainable_vqa:
             q_emb = jax.lax.stop_gradient(q_emb)
 
@@ -100,7 +106,7 @@ class CXModelBase(nn.Module):
         return a[:, 0], z[:, 0], a[:, 1:], z[:, 1:], q_emb
 
     def __call__(self, image_features, question_wids, answer_aids,
-                 deterministic: bool = True):
+                 deterministic: bool = True, q_emb: jax.Array = None):
         raise NotImplementedError
 
 
@@ -110,9 +116,9 @@ class BlackBox(CXModelBase):
 
     @nn.compact
     def __call__(self, image_features, question_wids, answer_aids,
-                 deterministic: bool = True):
+                 deterministic: bool = True, q_emb: jax.Array = None):
         _, _, a_knns, _, _ = self.vqa_forward(image_features, question_wids,
-                                              deterministic)
+                                              deterministic, q_emb=q_emb)
         probs = jax.nn.softmax(a_knns, axis=-1)
         aid = answer_aids[:, None, None].astype(jnp.int32)
         return -jnp.take_along_axis(probs, aid, axis=-1)[..., 0]
@@ -124,9 +130,9 @@ class LinearContext(CXModelBase):
 
     @nn.compact
     def __call__(self, image_features, question_wids, answer_aids,
-                 deterministic: bool = True):
+                 deterministic: bool = True, q_emb: jax.Array = None):
         _, _, _, z_knns, _ = self.vqa_forward(image_features, question_wids,
-                                              deterministic)
+                                              deterministic, q_emb=q_emb)
         batch = z_knns.shape[0]
         return nn.Dense(self.knn_size, name="linear")(
             z_knns.reshape(batch, -1))
@@ -142,10 +148,11 @@ class SemanticBaseline(CXModelBase):
 
     @nn.compact
     def __call__(self, image_features, question_wids, answer_aids,
-                 emb_pairs: jax.Array = None, deterministic: bool = True):
+                 emb_pairs: jax.Array = None, deterministic: bool = True,
+                 q_emb: jax.Array = None):
         assert emb_pairs is not None, "pass emb_pairs (A, A) cosine matrix"
         _, _, a_knns, _, _ = self.vqa_forward(image_features, question_wids,
-                                              deterministic)
+                                              deterministic, q_emb=q_emb)
         nb = jax.nn.softmax(a_knns, axis=-1)                   # (B, K, A)
         sim_rows = emb_pairs[answer_aids.astype(jnp.int32)]    # (B, A)
         weighted_sim = jnp.einsum("ba,bka->bk", sim_rows, nb)
@@ -177,7 +184,7 @@ class NeuralModel(CXModelBase):
 
     @nn.compact
     def __call__(self, image_features, question_wids, answer_aids,
-                 deterministic: bool = True):
+                 deterministic: bool = True, q_emb: jax.Array = None):
         spec = self.model_spec
         batch, k1, _ = image_features.shape
         K = self.knn_size
@@ -198,7 +205,7 @@ class NeuralModel(CXModelBase):
             # (reference runs vqa_forward when q_emb or z_emb; it would crash
             # with a_emb=True and both false — we additionally run it then)
             _, z_orig, a_knns, z_knns, q_emb = self.vqa_forward(
-                image_features, question_wids, deterministic)
+                image_features, question_wids, deterministic, q_emb=q_emb)
             if not spec["q_emb"] and not spec["z_emb"]:
                 q_emb = _uniform(self, (batch, dim_q))
                 z_orig = _uniform(self, (batch, dim_z))
@@ -278,14 +285,14 @@ class PairwiseModel(CXModelBase):
 
     @nn.compact
     def __call__(self, image_features, question_wids, answer_aids,
-                 deterministic: bool = True):
+                 deterministic: bool = True, q_emb: jax.Array = None):
         batch, k1, dim_v = image_features.shape
         K = k1 - 1
         v_orig = image_features[:, 0]
         v_knns = image_features[:, 1:]
 
         _, _, _, z_knns, q_emb = self.vqa_forward(
-            image_features, question_wids, deterministic)
+            image_features, question_wids, deterministic, q_emb=q_emb)
         z_knns = jax.lax.stop_gradient(z_knns)  # reference cx.py:359
 
         dim_h = 300
@@ -308,14 +315,14 @@ class PairwiseLinearModel(CXModelBase):
 
     @nn.compact
     def __call__(self, image_features, question_wids, answer_aids,
-                 deterministic: bool = True):
+                 deterministic: bool = True, q_emb: jax.Array = None):
         batch, k1, _ = image_features.shape
         K = k1 - 1
         v_orig = image_features[:, 0]
         v_knns = image_features[:, 1:]
 
         _, z_orig, _, z_knns, q_emb = self.vqa_forward(
-            image_features, question_wids, deterministic)
+            image_features, question_wids, deterministic, q_emb=q_emb)
 
         a_emb = nn.Embed(len(self.vqa_model.vocab_answers), self.dim_a,
                          name="answer_embedding")(
@@ -338,10 +345,10 @@ class ContrastiveModel(CXModelBase):
 
     @nn.compact
     def __call__(self, image_features, question_wids, answer_aids,
-                 deterministic: bool = True):
+                 deterministic: bool = True, q_emb: jax.Array = None):
         batch, k1, _ = image_features.shape
         _, z_orig, _, z_knns, _ = self.vqa_forward(
-            image_features, question_wids, deterministic)
+            image_features, question_wids, deterministic, q_emb=q_emb)
         z_all = jnp.concatenate([z_orig[:, None, :], z_knns], axis=1)
         x = jnp.concatenate([image_features, z_all], axis=-1)
         return jax.nn.relu(nn.Dense(self.dim_h, name="linear")(x))
@@ -359,9 +366,9 @@ class SimilarityModel(CXModelBase):
 
     @nn.compact
     def __call__(self, image_features, question_wids, answer_aids,
-                 deterministic: bool = True):
+                 deterministic: bool = True, q_emb: jax.Array = None):
         _, z_orig, a_knns, z_knns, _ = self.vqa_forward(
-            image_features, question_wids, deterministic)
+            image_features, question_wids, deterministic, q_emb=q_emb)
         v_orig = image_features[:, 0]
         v_knns = image_features[:, 1:]
         v_cos = cosine_similarity(v_orig[:, None, :], v_knns)
