@@ -4,17 +4,19 @@ Runs the flagship workload — NeuralCX (dim_h=300, n_layers=2) over a
 full-size MutanNoAtt backbone (dim_v=2048, dim_q=2400, R=10, 24 candidates) —
 as end-to-end jitted training steps on synthetic data with reference
 hyperparameters (Adam 1e-4, drop 0.25, BayesianUniSkip encoder) at B=384
-with the first-party Pallas MUTAN kernel in the measured path.
+with the first-party Pallas MUTAN kernel in the measured path and the
+frozen-encoder q_emb cache on (the flagship config freezes the VQA
+backbone, so the encoder output is a training constant — precomputed once,
+identical numerics; tests/test_q_cache.py).
 
 Measured on one v5e chip: B=64 ~15k examples/sec; B=256 ~26.3-26.9k;
-B=384 ~28.2-28.5k (5/5 clean completions back-to-back, XLA and Pallas
-tied, f32 and bf16 policy tied — the step is not MXU-bound at this
-shape); B=512 reached 29.8k once but fails with transient 'UNAVAILABLE:
-TPU device error' on most attempts on the tunneled chip (2026-08-16: 1
-success / 7 tries across fresh and warm compile caches and both engines,
-and a failed B=512 program wedges the chip for minutes), so the default
-is the largest shape that completes reliably.  Override with
-VQACX_BENCH_BATCH / VQACX_ENABLE_PALLAS=0 / VQACX_COMPUTE_DTYPE=bfloat16.
+B=384 ~28.5k -> 31.3k after time-major RNN scans -> 32.8k after
+partitioning frozen params out of grad/Adam -> 53.6k with the q_emb cache.
+B=512 programs fail with transient 'UNAVAILABLE: TPU device error' on most
+attempts on the tunneled chip (2026-08-16: 1 success / 7 tries; a failed
+B=512 program wedges the chip for minutes), so the default stays at the
+largest shape that completes reliably.  Override with VQACX_BENCH_BATCH /
+VQACX_ENABLE_PALLAS=0 / VQACX_COMPUTE_DTYPE=bfloat16 / VQACX_BENCH_QCACHE=0.
 
 Baseline: the reference publishes no throughput numbers (BASELINE.md).  The
 reference per-step work includes a host-side numpy gather of B x 25 feature

@@ -90,11 +90,18 @@ class CXModelBase(nn.Module):
         if not self.trainable_vqa:
             q_emb = jax.lax.stop_gradient(q_emb)
 
-        q_dup = jnp.broadcast_to(q_emb[:, None, :],
-                                 (batch, k1, q_emb.shape[-1]))
-        q_dup = q_dup.reshape(batch * k1, -1)
-
-        z = self.vqa_model.fuse(v_emb, q_dup, vqa_det)
+        fuse_candidates = getattr(self.vqa_model, "fuse_candidates", None)
+        if fuse_candidates is not None:
+            # candidate-aware fusion: the question-side projections run once
+            # per example, not once per candidate (reference cx.py:83-87
+            # pays them K+1 times via the q duplication)
+            z = fuse_candidates(image_features, q_emb,
+                                vqa_det).reshape(batch * k1, -1)
+        else:
+            q_dup = jnp.broadcast_to(q_emb[:, None, :],
+                                     (batch, k1, q_emb.shape[-1]))
+            q_dup = q_dup.reshape(batch * k1, -1)
+            z = self.vqa_model.fuse(v_emb, q_dup, vqa_det)
         a = self.vqa_model.classify(z, vqa_det)
 
         a = a.reshape(batch, k1, -1)
@@ -218,15 +225,15 @@ class NeuralModel(CXModelBase):
         answer_embedding = self.param(
             "answer_embedding", nn.initializers.normal(stddev=1.0),
             (ans_size, self.dim_a))
+        a_emb_knns = a_emb_factored = None
         if spec["a_emb"]:
             a_emb_gt = answer_embedding[answer_aids.astype(jnp.int32)]
-            a_probs = jax.nn.softmax(a_knns, axis=-1)
             # soft mixture of answer embeddings (reference bmm, cx.py:279-282)
-            # — the FLOP-heaviest GEMM of the model; policy dtype on the MXU
-            from ..core.policy import cast_in
-            pa, pe = cast_in(a_probs, answer_embedding)
-            a_emb_knns = jnp.einsum("bka,ad->bkd", pa, pe,
-                                    preferred_element_type=jnp.float32)
+            # — consumed only by the scorer's first layer, so it is passed in
+            # factored (probs, table) form and re-associated there
+            # (ops/scorer.py first_layer_decomposed)
+            a_probs = jax.nn.softmax(a_knns, axis=-1)
+            a_emb_factored = (a_probs, answer_embedding)
         else:
             a_emb_gt = _uniform(self, (batch, self.dim_a))
             a_emb_knns = _uniform(self, (batch, K, self.dim_a))
@@ -256,7 +263,8 @@ class NeuralModel(CXModelBase):
         h = scorer_ops.first_layer_decomposed(
             w1, b1, slices, v_orig=v_orig, v_knns=v_knns, v_mult=v_mult,
             v_dist=v_dist, v_rank=v_rank, q_emb=q_emb, z_orig=z_orig,
-            z_knns=z_knns, a_emb_gt=a_emb_gt, a_emb_knns=a_emb_knns)
+            z_knns=z_knns, a_emb_gt=a_emb_gt, a_emb_knns=a_emb_knns,
+            a_emb_knns_factored=a_emb_factored)
 
         hidden_ws, hidden_bs = [], []
         for layer in range(2, self.n_layers + 1):

@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import fusion as fusion_ops
+from .common import dropout
 
 _ACTIVATIONS = {
     "tanh": jnp.tanh,
@@ -34,25 +35,54 @@ class MLBFusion(nn.Module):
     (reference fusion.py:16-50).  Omitting dim_v/dim_q skips that projection."""
     opt: Mapping[str, Any]
 
-    @nn.compact
+    def setup(self):
+        if "dim_v" in self.opt:
+            self.linear_v = nn.Dense(self.opt["dim_h"])
+        if "dim_q" in self.opt:
+            self.linear_q = nn.Dense(self.opt["dim_h"])
+
+    def _v_side(self, input_v, deterministic):
+        opt = self.opt
+        if "dim_v" not in opt:
+            return input_v
+        x_v = dropout(self, input_v, opt["dropout_v"], deterministic)
+        x_v = self.linear_v(x_v)
+        if "activation_v" in opt:
+            x_v = activation(opt["activation_v"])(x_v)
+        return x_v
+
+    def _q_side(self, input_q, deterministic):
+        opt = self.opt
+        if "dim_q" not in opt:
+            return input_q
+        x_q = dropout(self, input_q, opt["dropout_q"], deterministic)
+        x_q = self.linear_q(x_q)
+        if "activation_q" in opt:
+            x_q = activation(opt["activation_q"])(x_q)
+        return x_q
+
     def __call__(self, input_v: jax.Array, input_q: jax.Array,
                  deterministic: bool = True) -> jax.Array:
-        opt = self.opt
-        if "dim_v" in opt:
-            x_v = nn.Dropout(opt["dropout_v"])(input_v, deterministic=deterministic)
-            x_v = nn.Dense(opt["dim_h"], name="linear_v")(x_v)
-            if "activation_v" in opt:
-                x_v = activation(opt["activation_v"])(x_v)
-        else:
-            x_v = input_v
-        if "dim_q" in opt:
-            x_q = nn.Dropout(opt["dropout_q"])(input_q, deterministic=deterministic)
-            x_q = nn.Dense(opt["dim_h"], name="linear_q")(x_q)
-            if "activation_q" in opt:
-                x_q = activation(opt["activation_q"])(x_q)
-        else:
-            x_q = input_q
-        return x_v * x_q
+        return (self._v_side(input_v, deterministic)
+                * self._q_side(input_q, deterministic))
+
+    def fuse_candidates(self, input_v: jax.Array, input_q: jax.Array,
+                        deterministic: bool = True) -> jax.Array:
+        """(B, K, Dv) x (B, Dq) -> (B, K, dim_h) with the question side
+        computed once per example instead of once per candidate (the CX
+        vqa_forward otherwise duplicates q over K+1 rows, cx.py:83-87).
+        Fast path requires ``deterministic`` so the shared-q dropout-mask
+        question stays moot."""
+        batch, k1 = input_v.shape[:2]
+        if not deterministic:
+            q_dup = jnp.broadcast_to(
+                input_q[:, None, :],
+                (batch, k1, input_q.shape[-1])).reshape(batch * k1, -1)
+            out = self(input_v.reshape(batch * k1, -1), q_dup, deterministic)
+            return out.reshape(batch, k1, -1)
+        x_v = self._v_side(input_v.reshape(batch * k1, -1), deterministic)
+        x_q = self._q_side(input_q, deterministic)
+        return x_v.reshape(batch, k1, -1) * x_q[:, None, :]
 
 
 class MutanFusion(nn.Module):
@@ -67,7 +97,53 @@ class MutanFusion(nn.Module):
     visual_embedding: bool = True
     question_embedding: bool = True
 
-    @nn.compact
+    def setup(self):
+        opt = self.opt
+        rank, dim_mm = opt["R"], opt["dim_mm"]
+        if self.visual_embedding:
+            self.linear_v = nn.Dense(opt["dim_hv"])
+        if self.question_embedding:
+            self.linear_q = nn.Dense(opt["dim_hq"])
+        # with embeddings disabled the inputs arrive already dim_hv/dim_hq
+        # wide (reference fusion.py:69-79)
+        dim_hv, dim_hq = opt["dim_hv"], opt["dim_hq"]
+        self.w_hv = self.param("w_hv", nn.initializers.lecun_normal(),
+                               (dim_hv, rank * dim_mm))
+        self.b_hv = self.param("b_hv", nn.initializers.zeros,
+                               (rank * dim_mm,))
+        self.w_hq = self.param("w_hq", nn.initializers.lecun_normal(),
+                               (dim_hq, rank * dim_mm))
+        self.b_hq = self.param("b_hq", nn.initializers.zeros,
+                               (rank * dim_mm,))
+
+    @property
+    def _simple(self):
+        opt = self.opt
+        return (opt.get("dropout_hv", 0) == 0
+                and opt.get("dropout_hq", 0) == 0
+                and "activation_hv" not in opt
+                and "activation_hq" not in opt)
+
+    def _v_side(self, input_v, deterministic):
+        opt = self.opt
+        if not self.visual_embedding:
+            return input_v
+        x_v = dropout(self, input_v, opt["dropout_v"], deterministic)
+        x_v = self.linear_v(x_v)
+        if "activation_v" in opt:
+            x_v = activation(opt["activation_v"])(x_v)
+        return x_v
+
+    def _q_side(self, input_q, deterministic):
+        opt = self.opt
+        if not self.question_embedding:
+            return input_q
+        x_q = dropout(self, input_q, opt["dropout_q"], deterministic)
+        x_q = self.linear_q(x_q)
+        if "activation_q" in opt:
+            x_q = activation(opt["activation_q"])(x_q)
+        return x_q
+
     def __call__(self, input_v: jax.Array, input_q: jax.Array,
                  deterministic: bool = True) -> jax.Array:
         opt = self.opt
@@ -82,44 +158,21 @@ class MutanFusion(nn.Module):
             input_v = input_v.reshape(batch0 * wh, -1)
             input_q = input_q.reshape(batch0 * wh, -1)
 
-        if self.visual_embedding:
-            x_v = nn.Dropout(opt["dropout_v"])(input_v, deterministic=deterministic)
-            x_v = nn.Dense(opt["dim_hv"], name="linear_v")(x_v)
-            if "activation_v" in opt:
-                x_v = activation(opt["activation_v"])(x_v)
-        else:
-            x_v = input_v
-        if self.question_embedding:
-            x_q = nn.Dropout(opt["dropout_q"])(input_q, deterministic=deterministic)
-            x_q = nn.Dense(opt["dim_hq"], name="linear_q")(x_q)
-            if "activation_q" in opt:
-                x_q = activation(opt["activation_q"])(x_q)
-        else:
-            x_q = input_q
+        x_v = self._v_side(input_v, deterministic)
+        x_q = self._q_side(input_q, deterministic)
 
-        dim_hv = x_v.shape[-1]
-        dim_hq = x_q.shape[-1]
-        w_hv = self.param("w_hv", nn.initializers.lecun_normal(),
-                          (dim_hv, rank * dim_mm))
-        b_hv = self.param("b_hv", nn.initializers.zeros, (rank * dim_mm,))
-        w_hq = self.param("w_hq", nn.initializers.lecun_normal(),
-                          (dim_hq, rank * dim_mm))
-        b_hq = self.param("b_hq", nn.initializers.zeros, (rank * dim_mm,))
-
-        simple = (opt.get("dropout_hv", 0) == 0 and opt.get("dropout_hq", 0) == 0
-                  and "activation_hv" not in opt and "activation_hq" not in opt)
-        if simple:
-            x_mm = fusion_ops.tucker_rank_fusion_auto(x_v, x_q, w_hv, b_hv,
-                                                      w_hq, b_hq, rank)
+        if self._simple:
+            x_mm = fusion_ops.tucker_rank_fusion_auto(
+                x_v, x_q, self.w_hv, self.b_hv, self.w_hq, self.b_hq, rank)
         else:
             # general path: per-rank dropout/activation between the projections
             batch = x_v.shape[0]
-            hv_in = nn.Dropout(opt.get("dropout_hv", 0))(
-                x_v, deterministic=deterministic)
-            hq_in = nn.Dropout(opt.get("dropout_hq", 0))(
-                x_q, deterministic=deterministic)
-            hv = (hv_in @ w_hv + b_hv).reshape(batch, rank, dim_mm)
-            hq = (hq_in @ w_hq + b_hq).reshape(batch, rank, dim_mm)
+            hv_in = dropout(self, x_v, opt.get("dropout_hv", 0),
+                            deterministic)
+            hq_in = dropout(self, x_q, opt.get("dropout_hq", 0),
+                            deterministic)
+            hv = (hv_in @ self.w_hv + self.b_hv).reshape(batch, rank, dim_mm)
+            hq = (hq_in @ self.w_hq + self.b_hq).reshape(batch, rank, dim_mm)
             if "activation_hv" in opt:
                 hv = activation(opt["activation_hv"])(hv)
             if "activation_hq" in opt:
@@ -130,6 +183,40 @@ class MutanFusion(nn.Module):
             x_mm = activation(opt["activation_mm"])(x_mm)
         if spatial:
             x_mm = x_mm.reshape(batch0, wh, dim_mm)
+        return x_mm
+
+    def fuse_candidates(self, input_v: jax.Array, input_q: jax.Array,
+                        deterministic: bool = True) -> jax.Array:
+        """(B, K, Dv) x (B, Dq) -> (B, K, dim_mm): the question-side GEMMs
+        (linear_q and the rank projection w_hq) run once per example instead
+        of once per candidate — the CX vqa_forward otherwise duplicates q
+        over the K+1 candidate rows and pays those GEMMs 25x (reference
+        cx.py:83-87).  Falls back to the duplicated path when dropout is
+        live (per-candidate masks) or per-rank dropout/activation is
+        configured."""
+        batch, k1 = input_v.shape[:2]
+        if not deterministic or not self._simple:
+            q_dup = jnp.broadcast_to(
+                input_q[:, None, :],
+                (batch, k1, input_q.shape[-1])).reshape(batch * k1, -1)
+            out = self(input_v.reshape(batch * k1, -1), q_dup, deterministic)
+            return out.reshape(batch, k1, -1)
+
+        from ..core.policy import cast_in
+
+        opt = self.opt
+        rank, dim_mm = opt["R"], opt["dim_mm"]
+        x_v = self._v_side(input_v.reshape(batch * k1, -1), deterministic)
+        x_q = self._q_side(input_q, deterministic)
+        xv, wv = cast_in(x_v, self.w_hv)
+        xq, wq = cast_in(x_q, self.w_hq)
+        hv = (jnp.dot(xv, wv, preferred_element_type=jnp.float32)
+              + self.b_hv).reshape(batch, k1, rank, dim_mm)
+        hq = (jnp.dot(xq, wq, preferred_element_type=jnp.float32)
+              + self.b_hq).reshape(batch, 1, rank, dim_mm)
+        x_mm = jnp.sum(hv * hq, axis=2)
+        if "activation_mm" in opt:
+            x_mm = activation(opt["activation_mm"])(x_mm)
         return x_mm
 
 

@@ -42,6 +42,14 @@ class AbstractNoAtt(nn.Module):
              deterministic: bool = True) -> jax.Array:
         return self.fusion_module(input_v, x_q, deterministic=deterministic)
 
+    def fuse_candidates(self, input_v: jax.Array, x_q: jax.Array,
+                        deterministic: bool = True) -> jax.Array:
+        """(B, K, Dv) x (B, Dq) -> (B, K, dz): candidate-axis fusion with the
+        question side computed once per example (see
+        fusion.MutanFusion.fuse_candidates)."""
+        return self.fusion_module.fuse_candidates(
+            input_v, x_q, deterministic=deterministic)
+
     def classify(self, z: jax.Array, deterministic: bool = True) -> jax.Array:
         opt_c = self.opt["classif"]
         x = z

@@ -69,12 +69,21 @@ def first_layer_decomposed(w1: jax.Array, b1: jax.Array,
                            v_rank: jax.Array,
                            q_emb: jax.Array, z_orig: jax.Array,
                            z_knns: jax.Array, a_emb_gt: jax.Array,
-                           a_emb_knns: jax.Array) -> jax.Array:
+                           a_emb_knns: jax.Array = None,
+                           a_emb_knns_factored: tuple = None) -> jax.Array:
     """Pre-activation of linear_1 for all candidates at once.
 
     Shapes: v_orig (B,Dv); v_knns/v_mult (B,K,Dv); v_dist (B,K);
     v_rank (B,K,K); q_emb (B,Dq); z_orig (B,Dz); z_knns (B,K,Dz);
     a_emb_gt (B,Da); a_emb_knns (B,K,Da).  Returns (B, K, H).
+
+    ``a_emb_knns_factored=(probs (B,K,A), table (A,Da))`` supplies the soft
+    answer-embedding mixture (cx.py:279-282) in factored form: its only
+    consumer is this layer, so ``(P @ E) @ W_a`` is re-associated as
+    ``P @ (E @ W_a)`` — the (A,Da)x(Da,H) product is tiny and the big GEMM
+    shrinks from Da=2400 to H columns (~8x fewer FLOPs at reference dims,
+    and the backward into E drops from a (A,B*K)x(B*K,Da) GEMM to
+    (A,H)x(H,Da)).  Same math, different rounding order.
     """
     offs = slices.offsets()
 
@@ -93,12 +102,23 @@ def first_layer_decomposed(w1: jax.Array, b1: jax.Array,
     h_static = jnp.dot(xs, ws, preferred_element_type=jnp.float32)  # (B, H)
 
     # Per-candidate half: one GEMM over the flattened (B*K) axis.
-    w_cand = jnp.concatenate(
-        [wslice("v_other"), wslice("v_mult"), wslice("z_other"),
-         wslice("a_emb_other")], axis=0)
-    x_cand = jnp.concatenate([v_knns, v_mult, z_knns, a_emb_knns], axis=-1)
+    cand_names = ["v_other", "v_mult", "z_other"]
+    cand_feats = [v_knns, v_mult, z_knns]
+    h_aemb = 0.0
+    if a_emb_knns_factored is not None:
+        probs, table = a_emb_knns_factored
+        pt, pe, pw = cast_in(probs, table, wslice("a_emb_other"))
+        ew = jnp.dot(pe, pw, preferred_element_type=jnp.float32)  # (A, H)
+        h_aemb = jnp.einsum("bka,ah->bkh", pt, ew.astype(pt.dtype),
+                            preferred_element_type=jnp.float32)
+    else:
+        cand_names.append("a_emb_other")
+        cand_feats.append(a_emb_knns)
+    w_cand = jnp.concatenate([wslice(n) for n in cand_names], axis=0)
+    x_cand = jnp.concatenate(cand_feats, axis=-1)
     xc, wc = cast_in(x_cand, w_cand)
     h_cand = jnp.dot(xc, wc, preferred_element_type=jnp.float32)  # (B, K, H)
+    h_cand = h_cand + h_aemb
 
     # Rank one-hot: identity GEMM == per-candidate rows of W (or a dense GEMM
     # for the lesion case where v_rank is random instead of one-hot).
