@@ -68,6 +68,11 @@ def build_parser() -> argparse.ArgumentParser:
                         help="disable the precomputed frozen-encoder q_emb "
                              "cache (identical numerics; cache only skips "
                              "recomputing the frozen GRU every step)")
+    parser.add_argument("--no_v_cache", action="store_true",
+                        help="disable the precomputed per-image fusion "
+                             "v-projection cache (identical numerics; cache "
+                             "only skips the frozen fusion v-side GEMMs "
+                             "every step)")
     parser.add_argument("--mesh", type=str, default=None,
                         help="data-parallel mesh spec, e.g. 'data=8': shards "
                              "the batch over devices, replicates params "
@@ -270,6 +275,25 @@ def main(argv=None):
         q_val = cx_engine.precompute_q_emb(cx_model, state.params,
                                            val_arrays.question_wids)
 
+    # v-side twin: the per-image fusion projection is also a training
+    # constant under a frozen backbone (tests/test_v_cache.py); one table
+    # per feature store.  Indexed by image, so pairwise views are fine.
+    v_train = v_val = None
+    use_v_cache = (vqa_model is not None and not trainable_vqa
+                   and not args.no_v_cache)
+    if use_v_cache:
+        try:
+            print("=> Precomputing per-image fusion v-projection cache...")
+            v_train = cx_engine.precompute_v_proj(cx_model, state.params,
+                                                  features_train)
+            v_val = (v_train if features_val is features_train
+                     else cx_engine.precompute_v_proj(cx_model, state.params,
+                                                      features_val))
+        except AssertionError as exc:  # per-rank dropout/activation configs
+            print("=> v-projection cache unavailable (%s); disabled" % exc)
+            use_v_cache = False
+            v_train = v_val = None
+
     # ---- optional data-parallel mesh (the TPU-native nn.DataParallel) ----
     mesh = None
     axes = parse_mesh(args.mesh)
@@ -307,11 +331,19 @@ def main(argv=None):
 
             features_train = _row_shard(features_train)
             features_val = _row_shard(features_val)
+            # the v-projection table rows align with feature rows — shard it
+            # the same way so its gather rides the same collectives
+            if v_train is not None:
+                v_train = _row_shard(v_train)
+                v_val = _row_shard(v_val)
             print("=> Feature corpus row-sharded over model=%d"
                   % axes["model"])
         else:
             features_train = jax.device_put(features_train, repl)
             features_val = jax.device_put(features_val, repl)
+            if v_train is not None:
+                v_train = jax.device_put(v_train, repl)
+                v_val = jax.device_put(v_val, repl)
         if q_train is not None:
             q_train = jax.device_put(q_train, repl)
             q_val = jax.device_put(q_val, repl)
@@ -321,17 +353,19 @@ def main(argv=None):
     train_step = (cx_engine.make_cx_train_step(
         cx_model, optimizer, recall_k=1 if args.pairwise else 5,
         base_seed=args.seed, extra_apply_args=extra_args,
-        use_q_cache=use_q_cache)
+        use_q_cache=use_q_cache, use_v_cache=use_v_cache)
         if optimizer is not None else None)
     eval_step = cx_engine.make_cx_eval_step(cx_model, recall_k=5,
                                             extra_apply_args=extra_args,
-                                            use_q_cache=use_q_cache)
+                                            use_q_cache=use_q_cache,
+                                            use_v_cache=use_v_cache)
 
     def run_eval(st):
         return cx_engine.eval_model(
             eval_step, st.params, features_val, val_arrays, batch_size,
             pairwise=args.pairwise, pairwise_eval_step=eval_step,
-            rng=np.random.default_rng(123), mesh=mesh, q_table=q_val)
+            rng=np.random.default_rng(123), mesh=mesh, q_table=q_val,
+            v_table=v_val)
 
     # ---- train loop (reference :293-371) ----
     print("=> Starting training...")
@@ -354,7 +388,7 @@ def main(argv=None):
                 pairwise=args.pairwise, rng=rng, log_fn=log_fn,
                 print_freq=args.print_freq,
                 eval_fn=run_eval, eval_freq=args.eval_freq, mesh=mesh,
-                q_table=q_train)
+                q_table=q_train, v_table=v_train)
         else:
             eval_results = run_eval(state)
         for k, v in eval_results.items():
@@ -386,7 +420,8 @@ def main(argv=None):
         test_results = cx_engine.eval_model(
             eval_step, state.params, features_val, test_arrays, batch_size,
             pairwise=args.pairwise, pairwise_eval_step=eval_step,
-            rng=np.random.default_rng(123), mesh=mesh, q_table=q_test)
+            rng=np.random.default_rng(123), mesh=mesh, q_table=q_test,
+            v_table=v_val)
         test_results = {k: float(v) for k, v in test_results.items()}
         test_results["best_epoch"] = best_epoch
         with open(os.path.join(save_dir, "final_results.txt"), "w") as f:

@@ -113,10 +113,48 @@ def precompute_q_emb(model, params, question_wids, batch_size: int = 4096):
     return jnp.concatenate(outs, axis=0)
 
 
+def precompute_v_proj(model, params, features, batch_size: int = 8192):
+    """Project every image's features through the frozen fusion v-side once.
+
+    The MUTAN v-side (dropout -> linear_v -> tanh -> w_hv) is a pure function
+    of the image when the backbone is frozen, and it is the dominant
+    frozen-backbone FLOPs in the CX step (2 GEMMs over B*(K+1) candidate
+    rows per step).  Precomputing it per *image* — there are ~83k distinct
+    images vs ~200k examples x 25 candidates per epoch — turns the per-step
+    fusion into a gather + rank-wise multiply-sum.  Returns an
+    (n_images, R*dim_mm) device array aligned with the feature-matrix row
+    order (gathered by ``batch['image_idxs']``); activations are bitwise what
+    the in-step fusion would produce.  ~1.2 GB f32 for COCO train at
+    reference dims (R=10, dim_mm=360) — comfortably HBM-resident next to the
+    680 MB feature matrix.
+    """
+    feats = features
+    n = feats.shape[0]
+    chunk = min(batch_size, n)
+
+    @jax.jit
+    def project(v):
+        return model.apply(
+            {"params": params}, v,
+            method=lambda m, v: m.vqa_model.project_image(v, True))
+
+    outs = []
+    for i in range(0, n, chunk):
+        block = feats[i:i + chunk]
+        n_valid = block.shape[0]
+        if n_valid < chunk:  # pad to a single compiled shape
+            block = jnp.concatenate(
+                [block, jnp.zeros((chunk - n_valid, feats.shape[1]),
+                                  feats.dtype)], axis=0)
+        outs.append(project(block)[:n_valid])
+    return jnp.concatenate(outs, axis=0)
+
+
 def make_cx_train_step(model, optimizer, *, recall_k: int = 5,
                        base_seed: int = 42,
                        extra_apply_args: tuple = (),
-                       use_q_cache: bool = False) -> Callable:
+                       use_q_cache: bool = False,
+                       use_v_cache: bool = False) -> Callable:
     """Returns jitted ``train_step(state, features, batch, n_valid)``.
 
     ``batch`` holds int32 arrays (image_idxs (B,K+1), question_wids (B,T),
@@ -125,13 +163,16 @@ def make_cx_train_step(model, optimizer, *, recall_k: int = 5,
     reference (counterexamples.py:333-334).
 
     With ``use_q_cache=True`` the step takes a trailing ``q_table`` argument
-    (from :func:`precompute_q_emb`) and the model skips its question encoder
-    — only valid when the VQA backbone is frozen.
+    (from :func:`precompute_q_emb`) and the model skips its question encoder;
+    with ``use_v_cache=True`` it takes a further ``v_table`` argument (from
+    :func:`precompute_v_proj`) and the model skips the fusion v-side GEMMs.
+    Either cache is only valid when the VQA backbone is frozen.
     """
     root = rng_lib.root_key(base_seed)
     frozen_keys = frozen_param_keys(model)
-    if use_q_cache and getattr(model, "trainable_vqa", False):
-        raise ValueError("q_emb cache requires a frozen VQA backbone")
+    if ((use_q_cache or use_v_cache)
+            and getattr(model, "trainable_vqa", False)):
+        raise ValueError("q_emb/v_proj caches require a frozen VQA backbone")
 
     # donate the state: params/opt-state buffers are reused in place, halving
     # the step's HBM allocation traffic; the frozen subtree (vqa_model with
@@ -139,7 +180,7 @@ def make_cx_train_step(model, optimizer, *, recall_k: int = 5,
     # straight through the donated buffer
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: CXTrainState, features, batch, n_valid,
-                   q_table=None):
+                   q_table=None, v_table=None):
         keys = rng_lib.step_keys(root, state.step, ("dropout", "lesion"))
         batch_size = batch["comp_idxs"].shape[0]
         mask = jnp.arange(batch_size) < n_valid
@@ -148,6 +189,8 @@ def make_cx_train_step(model, optimizer, *, recall_k: int = 5,
         if q_table is not None:
             q_kw = {"q_emb": jnp.take(q_table, batch["example_idxs"],
                                       axis=0)}
+        if v_table is not None:
+            q_kw["v_proj"] = jnp.take(v_table, batch["image_idxs"], axis=0)
 
         def loss_fn(trainable):
             params = {**trainable, **frozen}
@@ -179,16 +222,19 @@ def make_cx_train_step(model, optimizer, *, recall_k: int = 5,
 
 def make_cx_eval_step(model, *, recall_k: int = 5, base_seed: int = 123,
                       extra_apply_args: tuple = (),
-                      use_q_cache: bool = False) -> Callable:
+                      use_q_cache: bool = False,
+                      use_v_cache: bool = False) -> Callable:
     """Jitted eval: summed CE loss + recall@K counts, masked for padding.
     The 'lesion' stream stays live in eval — the reference draws torch.rand
     placeholders regardless of mode (cx.py:266-307).  With
     ``use_q_cache=True`` takes a trailing ``q_table`` argument
-    (see :func:`precompute_q_emb`)."""
+    (see :func:`precompute_q_emb`); with ``use_v_cache=True`` a further
+    ``v_table`` (see :func:`precompute_v_proj`)."""
     root = rng_lib.root_key(base_seed)
 
     @jax.jit
-    def eval_step(params, features, batch, n_valid, step, q_table=None):
+    def eval_step(params, features, batch, n_valid, step, q_table=None,
+                  v_table=None):
         keys = rng_lib.step_keys(root, step, ("lesion",))
         batch_size = batch["comp_idxs"].shape[0]
         mask = jnp.arange(batch_size) < n_valid
@@ -197,6 +243,8 @@ def make_cx_eval_step(model, *, recall_k: int = 5, base_seed: int = 123,
         if q_table is not None:
             q_kw = {"q_emb": jnp.take(q_table, batch["example_idxs"],
                                       axis=0)}
+        if v_table is not None:
+            q_kw["v_proj"] = jnp.take(v_table, batch["image_idxs"], axis=0)
         scores = model.apply(
             {"params": params}, image_features, batch["question_wids"],
             batch["answer_aids"], *extra_apply_args,
@@ -229,17 +277,27 @@ def _maybe_shard(batch, mesh):
     return shard_batch(batch, mesh)
 
 
+def _cache_extras(q_table, v_table):
+    """Positional trailing args for steps built with use_q_cache/use_v_cache."""
+    if v_table is not None:
+        return (q_table, v_table)
+    if q_table is not None:
+        return (q_table,)
+    return ()
+
+
 def eval_model(eval_step, params, features, arrays: vqacx.CXArrays,
                batch_size: int, *, pairwise: bool = False,
                pairwise_eval_step=None, rng=None, mesh=None,
-               q_table=None) -> dict:
+               q_table=None, v_table=None) -> dict:
     """Full-dataset eval (reference eval_model, counterexamples.py:450-490):
     returns {'loss', 'recall'} (+ recall@1; + pairwise metrics if requested).
     ``q_table``: precomputed encoder table for ``arrays`` (requires an
-    eval_step built with use_q_cache=True)."""
+    eval_step built with use_q_cache=True); ``v_table``: precomputed fusion
+    v-projections for ``features`` (use_v_cache=True)."""
     # keep dispatch asynchronous: collect device scalars, sync once at the
     # end (a per-batch float() costs a full host round-trip per batch)
-    extra = (q_table,) if q_table is not None else ()
+    extra = _cache_extras(q_table, v_table)
     outs = []
     n_total = 0
     step = 0
@@ -282,7 +340,7 @@ def train_epoch(train_step, state: CXTrainState, features,
                 pairwise: bool = False, rng=None,
                 log_fn=None, print_freq: int = 100,
                 eval_fn=None, eval_freq: int = -1, mesh=None,
-                q_table=None):
+                q_table=None, v_table=None):
     """One epoch over shuffled batches (reference counterexamples.py:312-361).
 
     ``log_fn(step_in_epoch, metrics)`` fires every print_freq batches;
@@ -290,12 +348,13 @@ def train_epoch(train_step, state: CXTrainState, features,
     result is returned (reference semantics: info.append(eval_results)).
     ``q_table``: precomputed encoder table (requires a train_step built with
     use_q_cache=True; not available for pairwise views, whose row order is
-    resampled per epoch)."""
+    resampled per epoch).  ``v_table``: precomputed fusion v-projections
+    (use_v_cache=True; indexed by image, so pairwise views are fine)."""
     rng = rng or np.random.default_rng()
     view = arrays.pairwise_view(rng) if pairwise else arrays
     if q_table is not None and pairwise:
         raise ValueError("q_table cache is not supported with pairwise views")
-    extra = (q_table,) if q_table is not None else ()
+    extra = _cache_extras(q_table, v_table)
     n_batches = (view.size + batch_size - 1) // batch_size
     eval_results = None
     t0 = time.time()

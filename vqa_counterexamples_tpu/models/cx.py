@@ -44,7 +44,8 @@ class RandomBaseline(nn.Module):
 
     @nn.compact
     def __call__(self, image_features, question_wids, answer_aids,
-                 deterministic: bool = True, q_emb: jax.Array = None):
+                 deterministic: bool = True, q_emb: jax.Array = None,
+                 v_proj: jax.Array = None):
         batch = image_features.shape[0]
         return _uniform(self, (batch, self.knn_size))
 
@@ -55,7 +56,8 @@ class DistanceBaseline(nn.Module):
 
     @nn.compact
     def __call__(self, image_features, question_wids, answer_aids,
-                 deterministic: bool = True, q_emb: jax.Array = None):
+                 deterministic: bool = True, q_emb: jax.Array = None,
+                 v_proj: jax.Array = None):
         batch = image_features.shape[0]
         row = jnp.arange(self.knn_size - 1, -1, -1, dtype=jnp.float32)
         return jnp.broadcast_to(row[None, :], (batch, self.knn_size))
@@ -69,7 +71,8 @@ class CXModelBase(nn.Module):
     trainable_vqa: bool = False
 
     def vqa_forward(self, image_features: jax.Array, question_wids: jax.Array,
-                    deterministic: bool = True, q_emb: jax.Array = None):
+                    deterministic: bool = True, q_emb: jax.Array = None,
+                    v_proj: jax.Array = None):
         # K+1 comes from the input shape (the reference asserts it equals
         # knn_size+1, cx.py:65, and mutates knn_size for pairwise eval —
         # shape-derived K serves both without mutation).
@@ -94,10 +97,14 @@ class CXModelBase(nn.Module):
         if fuse_candidates is not None:
             # candidate-aware fusion: the question-side projections run once
             # per example, not once per candidate (reference cx.py:83-87
-            # pays them K+1 times via the q duplication)
-            z = fuse_candidates(image_features, q_emb,
-                                vqa_det).reshape(batch * k1, -1)
+            # pays them K+1 times via the q duplication).  ``v_proj``:
+            # precomputed per-image fusion projections
+            # (engines/cx_engine.precompute_v_proj) — valid only for a
+            # frozen backbone, where they are training constants.
+            z = fuse_candidates(image_features, q_emb, vqa_det,
+                                v_proj=v_proj).reshape(batch * k1, -1)
         else:
+            assert v_proj is None, "v_proj cache needs fuse_candidates"
             q_dup = jnp.broadcast_to(q_emb[:, None, :],
                                      (batch, k1, q_emb.shape[-1]))
             q_dup = q_dup.reshape(batch * k1, -1)
@@ -113,7 +120,8 @@ class CXModelBase(nn.Module):
         return a[:, 0], z[:, 0], a[:, 1:], z[:, 1:], q_emb
 
     def __call__(self, image_features, question_wids, answer_aids,
-                 deterministic: bool = True, q_emb: jax.Array = None):
+                 deterministic: bool = True, q_emb: jax.Array = None,
+                 v_proj: jax.Array = None):
         raise NotImplementedError
 
 
@@ -123,9 +131,11 @@ class BlackBox(CXModelBase):
 
     @nn.compact
     def __call__(self, image_features, question_wids, answer_aids,
-                 deterministic: bool = True, q_emb: jax.Array = None):
+                 deterministic: bool = True, q_emb: jax.Array = None,
+                 v_proj: jax.Array = None):
         _, _, a_knns, _, _ = self.vqa_forward(image_features, question_wids,
-                                              deterministic, q_emb=q_emb)
+                                              deterministic, q_emb=q_emb,
+            v_proj=v_proj)
         probs = jax.nn.softmax(a_knns, axis=-1)
         aid = answer_aids[:, None, None].astype(jnp.int32)
         return -jnp.take_along_axis(probs, aid, axis=-1)[..., 0]
@@ -137,9 +147,11 @@ class LinearContext(CXModelBase):
 
     @nn.compact
     def __call__(self, image_features, question_wids, answer_aids,
-                 deterministic: bool = True, q_emb: jax.Array = None):
+                 deterministic: bool = True, q_emb: jax.Array = None,
+                 v_proj: jax.Array = None):
         _, _, _, z_knns, _ = self.vqa_forward(image_features, question_wids,
-                                              deterministic, q_emb=q_emb)
+                                              deterministic, q_emb=q_emb,
+            v_proj=v_proj)
         batch = z_knns.shape[0]
         return nn.Dense(self.knn_size, name="linear")(
             z_knns.reshape(batch, -1))
@@ -156,10 +168,11 @@ class SemanticBaseline(CXModelBase):
     @nn.compact
     def __call__(self, image_features, question_wids, answer_aids,
                  emb_pairs: jax.Array = None, deterministic: bool = True,
-                 q_emb: jax.Array = None):
+                 q_emb: jax.Array = None, v_proj: jax.Array = None):
         assert emb_pairs is not None, "pass emb_pairs (A, A) cosine matrix"
         _, _, a_knns, _, _ = self.vqa_forward(image_features, question_wids,
-                                              deterministic, q_emb=q_emb)
+                                              deterministic, q_emb=q_emb,
+            v_proj=v_proj)
         nb = jax.nn.softmax(a_knns, axis=-1)                   # (B, K, A)
         sim_rows = emb_pairs[answer_aids.astype(jnp.int32)]    # (B, A)
         weighted_sim = jnp.einsum("ba,bka->bk", sim_rows, nb)
@@ -191,7 +204,8 @@ class NeuralModel(CXModelBase):
 
     @nn.compact
     def __call__(self, image_features, question_wids, answer_aids,
-                 deterministic: bool = True, q_emb: jax.Array = None):
+                 deterministic: bool = True, q_emb: jax.Array = None,
+                 v_proj: jax.Array = None):
         spec = self.model_spec
         batch, k1, _ = image_features.shape
         K = self.knn_size
@@ -204,6 +218,9 @@ class NeuralModel(CXModelBase):
 
         if not spec["v_emb"]:
             image_features = _uniform(self, (batch, K + 1, dim_v))
+            # lesioned features are redrawn per forward — the per-image
+            # fusion-projection cache no longer describes them
+            v_proj = None
         v_orig = image_features[:, 0]
         v_knns = image_features[:, 1:]
 
@@ -212,7 +229,8 @@ class NeuralModel(CXModelBase):
             # (reference runs vqa_forward when q_emb or z_emb; it would crash
             # with a_emb=True and both false — we additionally run it then)
             _, z_orig, a_knns, z_knns, q_emb = self.vqa_forward(
-                image_features, question_wids, deterministic, q_emb=q_emb)
+                image_features, question_wids, deterministic, q_emb=q_emb,
+            v_proj=v_proj)
             if not spec["q_emb"] and not spec["z_emb"]:
                 q_emb = _uniform(self, (batch, dim_q))
                 z_orig = _uniform(self, (batch, dim_z))
@@ -293,14 +311,16 @@ class PairwiseModel(CXModelBase):
 
     @nn.compact
     def __call__(self, image_features, question_wids, answer_aids,
-                 deterministic: bool = True, q_emb: jax.Array = None):
+                 deterministic: bool = True, q_emb: jax.Array = None,
+                 v_proj: jax.Array = None):
         batch, k1, dim_v = image_features.shape
         K = k1 - 1
         v_orig = image_features[:, 0]
         v_knns = image_features[:, 1:]
 
         _, _, _, z_knns, q_emb = self.vqa_forward(
-            image_features, question_wids, deterministic, q_emb=q_emb)
+            image_features, question_wids, deterministic, q_emb=q_emb,
+            v_proj=v_proj)
         z_knns = jax.lax.stop_gradient(z_knns)  # reference cx.py:359
 
         dim_h = 300
@@ -323,14 +343,16 @@ class PairwiseLinearModel(CXModelBase):
 
     @nn.compact
     def __call__(self, image_features, question_wids, answer_aids,
-                 deterministic: bool = True, q_emb: jax.Array = None):
+                 deterministic: bool = True, q_emb: jax.Array = None,
+                 v_proj: jax.Array = None):
         batch, k1, _ = image_features.shape
         K = k1 - 1
         v_orig = image_features[:, 0]
         v_knns = image_features[:, 1:]
 
         _, z_orig, _, z_knns, q_emb = self.vqa_forward(
-            image_features, question_wids, deterministic, q_emb=q_emb)
+            image_features, question_wids, deterministic, q_emb=q_emb,
+            v_proj=v_proj)
 
         a_emb = nn.Embed(len(self.vqa_model.vocab_answers), self.dim_a,
                          name="answer_embedding")(
@@ -353,10 +375,12 @@ class ContrastiveModel(CXModelBase):
 
     @nn.compact
     def __call__(self, image_features, question_wids, answer_aids,
-                 deterministic: bool = True, q_emb: jax.Array = None):
+                 deterministic: bool = True, q_emb: jax.Array = None,
+                 v_proj: jax.Array = None):
         batch, k1, _ = image_features.shape
         _, z_orig, _, z_knns, _ = self.vqa_forward(
-            image_features, question_wids, deterministic, q_emb=q_emb)
+            image_features, question_wids, deterministic, q_emb=q_emb,
+            v_proj=v_proj)
         z_all = jnp.concatenate([z_orig[:, None, :], z_knns], axis=1)
         x = jnp.concatenate([image_features, z_all], axis=-1)
         return jax.nn.relu(nn.Dense(self.dim_h, name="linear")(x))
@@ -374,9 +398,11 @@ class SimilarityModel(CXModelBase):
 
     @nn.compact
     def __call__(self, image_features, question_wids, answer_aids,
-                 deterministic: bool = True, q_emb: jax.Array = None):
+                 deterministic: bool = True, q_emb: jax.Array = None,
+                 v_proj: jax.Array = None):
         _, z_orig, a_knns, z_knns, _ = self.vqa_forward(
-            image_features, question_wids, deterministic, q_emb=q_emb)
+            image_features, question_wids, deterministic, q_emb=q_emb,
+            v_proj=v_proj)
         v_orig = image_features[:, 0]
         v_knns = image_features[:, 1:]
         v_cos = cosine_similarity(v_orig[:, None, :], v_knns)

@@ -66,13 +66,28 @@ class MLBFusion(nn.Module):
         return (self._v_side(input_v, deterministic)
                 * self._q_side(input_q, deterministic))
 
+    def v_project(self, input_v: jax.Array,
+                  deterministic: bool = True) -> jax.Array:
+        """Everything on the visual side that depends only on the image:
+        dropout (eval-mode identity) -> linear_v -> activation.  With a
+        frozen backbone this is a constant per image, so callers may
+        precompute it over the whole feature matrix once and pass the rows
+        back through ``fuse_candidates(hv=...)``."""
+        return self._v_side(input_v, deterministic)
+
     def fuse_candidates(self, input_v: jax.Array, input_q: jax.Array,
-                        deterministic: bool = True) -> jax.Array:
+                        deterministic: bool = True,
+                        hv: jax.Array = None) -> jax.Array:
         """(B, K, Dv) x (B, Dq) -> (B, K, dim_h) with the question side
         computed once per example instead of once per candidate (the CX
         vqa_forward otherwise duplicates q over K+1 rows, cx.py:83-87).
         Fast path requires ``deterministic`` so the shared-q dropout-mask
-        question stays moot."""
+        question stays moot.  ``hv``: precomputed ``v_project`` rows
+        (B, K, dim_h); skips the per-step v-side GEMM entirely."""
+        if hv is not None:
+            assert deterministic, "cached v projections require eval mode"
+            x_q = self._q_side(input_q, deterministic)
+            return hv * x_q[:, None, :]
         batch, k1 = input_v.shape[:2]
         if not deterministic:
             q_dup = jnp.broadcast_to(
@@ -185,15 +200,55 @@ class MutanFusion(nn.Module):
             x_mm = x_mm.reshape(batch0, wh, dim_mm)
         return x_mm
 
+    def v_project(self, input_v: jax.Array,
+                  deterministic: bool = True) -> jax.Array:
+        """Everything on the visual side that depends only on the image:
+        dropout (eval-mode identity) -> linear_v -> activation_v -> the
+        rank projection ``w_hv`` -> (N, R*dim_mm).  With a frozen backbone
+        this is a constant per image; precompute it over the whole feature
+        matrix once (engines/cx_engine.precompute_v_proj) and the per-step
+        MUTAN fusion collapses to a gather + rank-wise multiply-sum.
+        Only the ``_simple`` configuration (no per-rank dropout/activation,
+        the reference CX default) factors this way."""
+        assert self._simple, "per-rank dropout/activation is not cacheable"
+        from ..core.policy import cast_in
+
+        x_v = self._v_side(input_v, deterministic)
+        xv, wv = cast_in(x_v, self.w_hv)
+        return (jnp.dot(xv, wv, preferred_element_type=jnp.float32)
+                + self.b_hv)
+
     def fuse_candidates(self, input_v: jax.Array, input_q: jax.Array,
-                        deterministic: bool = True) -> jax.Array:
+                        deterministic: bool = True,
+                        hv: jax.Array = None) -> jax.Array:
         """(B, K, Dv) x (B, Dq) -> (B, K, dim_mm): the question-side GEMMs
         (linear_q and the rank projection w_hq) run once per example instead
         of once per candidate — the CX vqa_forward otherwise duplicates q
         over the K+1 candidate rows and pays those GEMMs 25x (reference
         cx.py:83-87).  Falls back to the duplicated path when dropout is
         live (per-candidate masks) or per-rank dropout/activation is
-        configured."""
+        configured.
+
+        ``hv``: precomputed ``v_project`` rows (B, K, R*dim_mm) — skips the
+        per-step v-side GEMMs (linear_v + w_hv over B*K candidate rows, the
+        dominant frozen-backbone FLOPs) entirely."""
+        if hv is not None:
+            assert deterministic and self._simple, (
+                "cached v projections require eval mode and the simple "
+                "(no per-rank dropout/activation) configuration")
+            from ..core.policy import cast_in
+
+            opt = self.opt
+            rank, dim_mm = opt["R"], opt["dim_mm"]
+            batch, k1 = hv.shape[:2]
+            x_q = self._q_side(input_q, deterministic)
+            xq, wq = cast_in(x_q, self.w_hq)
+            hq = (jnp.dot(xq, wq, preferred_element_type=jnp.float32)
+                  + self.b_hq).reshape(batch, 1, rank, dim_mm)
+            x_mm = jnp.sum(hv.reshape(batch, k1, rank, dim_mm) * hq, axis=2)
+            if "activation_mm" in opt:
+                x_mm = activation(opt["activation_mm"])(x_mm)
+            return x_mm
         batch, k1 = input_v.shape[:2]
         if not deterministic or not self._simple:
             q_dup = jnp.broadcast_to(

@@ -43,12 +43,22 @@ class AbstractNoAtt(nn.Module):
         return self.fusion_module(input_v, x_q, deterministic=deterministic)
 
     def fuse_candidates(self, input_v: jax.Array, x_q: jax.Array,
-                        deterministic: bool = True) -> jax.Array:
+                        deterministic: bool = True,
+                        v_proj: jax.Array = None) -> jax.Array:
         """(B, K, Dv) x (B, Dq) -> (B, K, dz): candidate-axis fusion with the
         question side computed once per example (see
-        fusion.MutanFusion.fuse_candidates)."""
+        fusion.MutanFusion.fuse_candidates).  ``v_proj``: precomputed
+        ``project_image`` rows (B, K, P) replacing the v-side GEMMs."""
         return self.fusion_module.fuse_candidates(
-            input_v, x_q, deterministic=deterministic)
+            input_v, x_q, deterministic=deterministic, hv=v_proj)
+
+    def project_image(self, input_v: jax.Array,
+                      deterministic: bool = True) -> jax.Array:
+        """Image-only half of the fusion (see fusion v_project): a constant
+        per image under a frozen backbone, precomputable over the whole
+        feature matrix (engines/cx_engine.precompute_v_proj)."""
+        return self.fusion_module.v_project(input_v,
+                                            deterministic=deterministic)
 
     def classify(self, z: jax.Array, deterministic: bool = True) -> jax.Array:
         opt_c = self.opt["classif"]
