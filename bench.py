@@ -12,7 +12,8 @@ identical numerics; tests/test_q_cache.py).
 Measured on one v5e chip: B=64 ~15k examples/sec; B=256 ~26.3-26.9k;
 B=384 ~28.5k -> 31.3k after time-major RNN scans -> 32.8k after
 partitioning frozen params out of grad/Adam -> 53.6k with the q_emb cache
--> 70.3k with the per-image fusion v-projection cache.
+-> 70.3k with the per-image fusion v-projection cache -> 72.7k with the
+bf16 compute policy (B=768 measured 69.1k; B=384 stays the default).
 B=512 programs fail with transient 'UNAVAILABLE: TPU device error' on most
 attempts on the tunneled chip (2026-08-16: 1 success / 7 tries; a failed
 B=512 program wedges the chip for minutes), so the default stays at the
@@ -49,6 +50,12 @@ PEAK_FLOPS = {"TPU v5 lite": 197e12, "TPU v5e": 197e12, "TPU v4": 275e12,
               "TPU v6 lite": 918e12}
 # the Pallas MUTAN kernel is in the measured path by default (VERDICT r1 #3)
 os.environ.setdefault("VQACX_ENABLE_PALLAS", "1")
+# bf16 GEMM inputs / f32 accumulate+params: consistently +4.6% once the
+# v_proj cache made the step GEMM-bound (f32 69.5k vs bf16 72.7k ex/s mean
+# of 3/2 runs, 2026-08-17); convergence under the policy is pinned by
+# tests/test_debug_policy.py::test_bf16_policy_convergence.  Library
+# training CLIs stay bit-faithful f32 unless the user opts in.
+os.environ.setdefault("VQACX_COMPUTE_DTYPE", "bfloat16")
 
 
 def main():
@@ -181,6 +188,7 @@ def main():
         "pallas": os.environ.get("VQACX_ENABLE_PALLAS") == "1",
         "q_cache": use_q_cache,
         "v_cache": use_v_cache,
+        "compute_dtype": os.environ.get("VQACX_COMPUTE_DTYPE", "float32"),
         "cache_build_s": round(q_build_s, 1),
     }))
 
