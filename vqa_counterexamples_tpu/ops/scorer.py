@@ -114,11 +114,15 @@ def first_layer_decomposed(w1: jax.Array, b1: jax.Array,
     else:
         cand_names.append("a_emb_other")
         cand_feats.append(a_emb_knns)
-    w_cand = jnp.concatenate([wslice(n) for n in cand_names], axis=0)
-    x_cand = jnp.concatenate(cand_feats, axis=-1)
-    xc, wc = cast_in(x_cand, w_cand)
-    h_cand = jnp.dot(xc, wc, preferred_element_type=jnp.float32)  # (B, K, H)
-    h_cand = h_cand + h_aemb
+    # one dot per feature block, summed: concat([x1,x2,x3]) @ concat(W) ==
+    # sum_i x_i @ W_i, but without materializing the (B*K, 6856) concat in
+    # HBM (~170 MB/step at reference dims) — the blocks are read where they
+    # already live
+    h_cand = h_aemb
+    for name, feat in zip(cand_names, cand_feats):
+        xc, wc = cast_in(feat, wslice(name))
+        h_cand = h_cand + jnp.dot(xc, wc,
+                                  preferred_element_type=jnp.float32)
 
     # Rank one-hot: identity GEMM == per-candidate rows of W (or a dense GEMM
     # for the lesion case where v_rank is random instead of one-hot).
