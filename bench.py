@@ -130,6 +130,18 @@ def main():
     if use_v_cache:
         v_table = cx_engine.precompute_v_proj(model, state.params, features)
         jax.block_until_ready(v_table)
+    # bf16-resident feature matrix + tables under the bf16 policy: the GEMMs
+    # cast inputs to bf16 anyway, so storing them bf16 halves the gather
+    # traffic and deletes the per-step cast round-trips (measured 4.94 ->
+    # 3.82 ms/step, scripts/profile_step.py 2026-08-17).
+    bf16_tables = (os.environ.get("VQACX_COMPUTE_DTYPE") == "bfloat16"
+                   and os.environ.get("VQACX_BENCH_BF16_TABLES", "1") == "1")
+    if bf16_tables:
+        features = features.astype(jnp.bfloat16)
+        if q_table is not None:
+            q_table = q_table.astype(jnp.bfloat16)
+        if v_table is not None:
+            v_table = v_table.astype(jnp.bfloat16)
     extra = cx_engine._cache_extras(q_table, v_table)
     q_build_s = time.time() - t0
 
@@ -189,6 +201,7 @@ def main():
         "q_cache": use_q_cache,
         "v_cache": use_v_cache,
         "compute_dtype": os.environ.get("VQACX_COMPUTE_DTYPE", "float32"),
+        "bf16_tables": bf16_tables,
         "cache_build_s": round(q_build_s, 1),
     }))
 

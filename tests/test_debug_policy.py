@@ -100,3 +100,60 @@ def test_bf16_policy_end_to_end_training_still_learns():
                 first_loss = metrics["loss"]
         assert metrics["loss"] < first_loss
         assert metrics["recall"] > 0.55  # chance = 3/6 = 0.5
+
+
+def test_bf16_resident_tables_still_learn():
+    """The shipped bench config: bf16 policy AND bf16-resident feature
+    matrix + q_emb/v_proj cache tables (halves gather traffic; GEMMs cast
+    to bf16 anyway).  Training must still converge and eval must agree
+    with the f32-resident path to bf16 feature precision."""
+    import optax
+
+    from vqa_counterexamples_tpu.data import synthetic, vqacx
+    from vqa_counterexamples_tpu.engines import cx_engine
+    from vqa_counterexamples_tpu.models import factory
+
+    with policy.compute_dtype_scope("bfloat16"):
+        dataset, store = synthetic.make_synthetic_cx(
+            n_examples=96, n_images=48, dim_v=32, knn_size=6, n_words=20,
+            n_answers=8, seed=1)
+        opt = synthetic.tiny_vqa_options(dim_v=32, nans=8)
+        vqa = factory.factory_vqa(opt, dataset["vocab_words"],
+                                  dataset["vocab_answers"])
+        spec = dict(dim_h=32, n_layers=1, drop_p=0.1, v_emb=True,
+                    v_mult=True, v_dist=True, v_rank=True, q_emb=True,
+                    a_emb=True, z_emb=True, pretrained_emb=False,
+                    trainable_vqa=False)
+        model = factory.factory_cx("NeuralModel", vqa, knn_size=6,
+                                   model_spec=spec)
+        arrays = vqacx.CXArrays.from_examples(dataset["examples_list"],
+                                              dataset["name_to_index"])
+        features = store.to_device()
+        optimizer = optax.adam(1e-3)
+        state = cx_engine.init_cx_state(
+            model, optimizer, vqacx.gather_batch(arrays, np.arange(16)),
+            features)
+        q_table = cx_engine.precompute_q_emb(model, state.params,
+                                             arrays.question_wids)
+        v_table = cx_engine.precompute_v_proj(model, state.params, features)
+        features16 = features.astype(jnp.bfloat16)
+        q16 = q_table.astype(jnp.bfloat16)
+        v16 = v_table.astype(jnp.bfloat16)
+
+        ts = cx_engine.make_cx_train_step(model, optimizer, recall_k=3,
+                                          use_q_cache=True, use_v_cache=True)
+        es = cx_engine.make_cx_eval_step(model, recall_k=3,
+                                         use_q_cache=True, use_v_cache=True)
+        rng = np.random.default_rng(0)
+        first_loss = None
+        for _ in range(6):
+            state, metrics = cx_engine.train_epoch(
+                ts, state, features16, arrays, 16, rng=rng,
+                q_table=q16, v_table=v16,
+                eval_fn=lambda st: cx_engine.eval_model(
+                    es, st.params, features16, arrays, 16,
+                    q_table=q16, v_table=v16))
+            if first_loss is None:
+                first_loss = metrics["loss"]
+        assert metrics["loss"] < first_loss
+        assert metrics["recall"] > 0.55  # chance = 3/6 = 0.5
