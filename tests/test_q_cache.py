@@ -82,6 +82,46 @@ def test_cached_training_matches_uncached(setup):
                                    rtol=2e-4, atol=2e-5)
 
 
+def test_q_cache_valid_for_pairwise_views(setup):
+    """pairwise_view resamples the candidate triple but keeps row i =
+    example i, so example_idxs still index the q table — cached pairwise
+    training must match uncached."""
+    import jax
+
+    model, optimizer, state, features, arrays = setup
+    pw_model = model  # PairwiseModel shape-derives K; NeuralModel can't — use
+    # the engine path with the same model through arrays.pairwise_view via
+    # train_epoch(pairwise=True) on a shape-agnostic scorer instead:
+    from vqa_counterexamples_tpu.models import factory
+
+    pw = factory.factory_cx("PairwiseModel", model.vqa_model, knn_size=2)
+    import optax
+
+    opt2 = optax.adam(1e-3)
+    import numpy as np
+
+    from vqa_counterexamples_tpu.data import vqacx as vqacx_mod
+
+    batch = vqacx_mod.gather_batch(arrays.pairwise_view(
+        np.random.default_rng(5)), np.arange(16))
+    st = cx_engine.init_cx_state(pw, opt2, batch, features)
+    q_table = cx_engine.precompute_q_emb(pw, st.params,
+                                         arrays.question_wids)
+    ts_plain = cx_engine.make_cx_train_step(pw, opt2, recall_k=1)
+    ts_cache = cx_engine.make_cx_train_step(pw, opt2, recall_k=1,
+                                            use_q_cache=True)
+    copy = jax.tree_util.tree_map(lambda x: x.copy(), st)
+    rng1, rng2 = (np.random.default_rng(7) for _ in range(2))
+    s1, _ = cx_engine.train_epoch(ts_plain, st, features, arrays, 16,
+                                  pairwise=True, rng=rng1)
+    s2, _ = cx_engine.train_epoch(ts_cache, copy, features, arrays, 16,
+                                  pairwise=True, rng=rng2, q_table=q_table)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+
 def test_q_cache_rejects_trainable_vqa(setup):
     model, optimizer, *_ = setup
     trainable = model.clone(trainable_vqa=True)

@@ -104,9 +104,28 @@ def main(argv=None):
             ckpt_lib.load_cx_checkpoint(state, save_dir,
                                         resume_best=args.best)
 
+    # frozen-backbone caches (identical numerics; see cx_engine
+    # precompute_q_emb/precompute_v_proj): the pairwise triples keep
+    # row i = example i, so the q table indexes by example_idxs as usual
+    use_cache = not args.trainable_vqa
+    q_train = q_val = v_train = v_val = None
+    if use_cache:
+        print("=> Precomputing frozen-backbone q_emb/v_proj caches...")
+        q_train = cx_engine.precompute_q_emb(model, state.params,
+                                             train_arrays.question_wids)
+        q_val = cx_engine.precompute_q_emb(model, state.params,
+                                           val_arrays.question_wids)
+        v_train = cx_engine.precompute_v_proj(model, state.params,
+                                              features_train)
+        v_val = (v_train if features_val is features_train
+                 else cx_engine.precompute_v_proj(model, state.params,
+                                                  features_val))
     train_step = ce.make_contrastive_train_step(model, optimizer,
-                                                base_seed=args.seed)
-    eval_step = ce.make_contrastive_eval_step(model)
+                                                base_seed=args.seed,
+                                                use_q_cache=use_cache,
+                                                use_v_cache=use_cache)
+    eval_step = ce.make_contrastive_eval_step(model, use_q_cache=use_cache,
+                                              use_v_cache=use_cache)
 
     def run_eval():
         totals, n = {"correct": 0.0}, 0
@@ -116,7 +135,7 @@ def main(argv=None):
             out = eval_step(state.params, features_val,
                             vqacx.gather_batch(val_arrays, idx),
                             jnp.asarray(n_valid, jnp.float32),
-                            jnp.asarray(step, jnp.int32))
+                            jnp.asarray(step, jnp.int32), q_val, v_val)
             totals["correct"] += float(out["correct"])
             n += n_valid
             step += 1
@@ -131,7 +150,8 @@ def main(argv=None):
                                                 shuffle=True, rng=rng):
             batch = vqacx.gather_batch(pw, idx)
             state, m = train_step(state, features_train, batch,
-                                  jnp.asarray(n_valid, jnp.float32))
+                                  jnp.asarray(n_valid, jnp.float32),
+                                  q_train, v_train)
             b += 1
             if b % args.print_freq == 0:
                 metrics = {k: float(v) for k, v in m.items()}

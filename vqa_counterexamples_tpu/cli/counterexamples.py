@@ -267,7 +267,7 @@ def main(argv=None):
     # out of the step.  Bitwise-identical numerics (tests/test_q_cache.py).
     q_train = q_val = None
     use_q_cache = (vqa_model is not None and not trainable_vqa
-                   and not args.pairwise and not args.no_q_cache)
+                   and not args.no_q_cache)
     if use_q_cache:
         print("=> Precomputing frozen-encoder q_emb cache...")
         q_train = cx_engine.precompute_q_emb(cx_model, state.params,

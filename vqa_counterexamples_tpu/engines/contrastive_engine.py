@@ -34,26 +34,44 @@ class ContrastiveState(NamedTuple):
     step: jax.Array
 
 
+def _cache_kwargs(batch, q_table, v_table):
+    """Frozen-backbone caches (see cx_engine.precompute_q_emb/v_proj):
+    q_table rows are per example, v_table rows per image."""
+    kw = {}
+    if q_table is not None:
+        kw["q_emb"] = jnp.take(q_table, batch["example_idxs"], axis=0)
+    if v_table is not None:
+        kw["v_proj"] = jnp.take(v_table, batch["image_idxs"], axis=0)
+    return kw
+
+
 def make_contrastive_train_step(model, optimizer, *, margin: float = 2.0,
-                                base_seed: int = 42) -> Callable:
+                                base_seed: int = 42,
+                                use_q_cache: bool = False,
+                                use_v_cache: bool = False) -> Callable:
     from .cx_engine import frozen_param_keys, split_params
 
     root = rng_lib.root_key(base_seed)
     frozen_keys = frozen_param_keys(model)
+    if ((use_q_cache or use_v_cache)
+            and getattr(model, "trainable_vqa", False)):
+        raise ValueError("q_emb/v_proj caches require a frozen VQA backbone")
 
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def train_step(state: ContrastiveState, features, batch, n_valid):
+    def train_step(state: ContrastiveState, features, batch, n_valid,
+                   q_table=None, v_table=None):
         keys = rng_lib.step_keys(root, state.step, ("dropout", "lesion"))
         batch_size = batch["comp_idxs"].shape[0]
         mask = jnp.arange(batch_size) < n_valid
         trainable, frozen = split_params(state.params, frozen_keys)
+        cache_kw = _cache_kwargs(batch, q_table, v_table)
 
         def loss_fn(trainable):
             params = {**trainable, **frozen}
             image_features = jnp.take(features, batch["image_idxs"], axis=0)
             h = model.apply({"params": params}, image_features,
                             batch["question_wids"], batch["answer_aids"],
-                            deterministic=False, rngs=keys)
+                            deterministic=False, rngs=keys, **cache_kw)
             # triple layout from pairwise_view: 0=orig, 1=comp, 2=other
             w = mask.astype(jnp.float32)
             wsum = jnp.maximum(jnp.sum(w), 1.0)
@@ -81,20 +99,24 @@ def make_contrastive_train_step(model, optimizer, *, margin: float = 2.0,
 
 
 def make_contrastive_eval_step(model, *, recall_k: int = 5,
-                               base_seed: int = 123) -> Callable:
+                               base_seed: int = 123,
+                               use_q_cache: bool = False,
+                               use_v_cache: bool = False) -> Callable:
     """24-way eval: rank candidates by embedding distance from the original
     (contrastive.py:259-290)."""
     root = rng_lib.root_key(base_seed)
 
     @jax.jit
-    def eval_step(params, features, batch, n_valid, step):
+    def eval_step(params, features, batch, n_valid, step, q_table=None,
+                  v_table=None):
         keys = rng_lib.step_keys(root, step, ("lesion",))
         batch_size = batch["comp_idxs"].shape[0]
         mask = jnp.arange(batch_size) < n_valid
+        cache_kw = _cache_kwargs(batch, q_table, v_table)
         image_features = jnp.take(features, batch["image_idxs"], axis=0)
         h = model.apply({"params": params}, image_features,
                         batch["question_wids"], batch["answer_aids"],
-                        deterministic=True, rngs=keys)
+                        deterministic=True, rngs=keys, **cache_kw)
         scores = pairwise_distance(h[:, :1], h[:, 1:], keepdims=False)
         hits = recall_at_k(scores, batch["comp_idxs"], k=recall_k)
         return {"correct": jnp.sum(hits * mask),

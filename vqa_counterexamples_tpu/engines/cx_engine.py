@@ -347,13 +347,12 @@ def train_epoch(train_step, state: CXTrainState, features,
     ``eval_fn()`` fires every eval_freq batches and at epoch end, and its last
     result is returned (reference semantics: info.append(eval_results)).
     ``q_table``: precomputed encoder table (requires a train_step built with
-    use_q_cache=True; not available for pairwise views, whose row order is
-    resampled per epoch).  ``v_table``: precomputed fusion v-projections
-    (use_v_cache=True; indexed by image, so pairwise views are fine)."""
+    use_q_cache=True; valid for pairwise views too — they resample the
+    candidate triple per epoch but keep row i = example i, so
+    ``example_idxs`` still index the table).  ``v_table``: precomputed
+    fusion v-projections (use_v_cache=True; indexed by image)."""
     rng = rng or np.random.default_rng()
     view = arrays.pairwise_view(rng) if pairwise else arrays
-    if q_table is not None and pairwise:
-        raise ValueError("q_table cache is not supported with pairwise views")
     extra = _cache_extras(q_table, v_table)
     n_batches = (view.size + batch_size - 1) // batch_size
     eval_results = None
