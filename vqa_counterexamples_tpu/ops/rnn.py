@@ -65,9 +65,20 @@ def gru_init(key: jax.Array, dim_in: int, dim_h: int,
     )
 
 
+def _default_unroll() -> int:
+    """Scan unroll factor for the recurrences (VQACX_RNN_UNROLL, default 1).
+
+    Unrolling lets XLA software-pipeline the per-step w_hh loads against the
+    previous step's arithmetic; the 26-token sequences divide evenly by 2/13.
+    """
+    import os
+
+    return int(os.environ.get("VQACX_RNN_UNROLL", "1"))
+
+
 def gru_scan(params: GRUParams, x: jax.Array, *, dropout: float = 0.0,
              deterministic: bool = True, rng: jax.Array | None = None,
-             h0: jax.Array | None = None, unroll: int = 1,
+             h0: jax.Array | None = None, unroll: int | None = None,
              time_major_out: bool = False) -> jax.Array:
     """Run a GRU over (B, T, D) -> all hidden states (B, T, H).
 
@@ -118,7 +129,8 @@ def gru_scan(params: GRUParams, x: jax.Array, *, dropout: float = 0.0,
         h_new = (1.0 - z) * n + z * h
         return h_new, h_new
 
-    _, states = jax.lax.scan(step, h0, x_proj, unroll=unroll)
+    _, states = jax.lax.scan(step, h0, x_proj,
+                             unroll=unroll or _default_unroll())
     return states if time_major_out else jnp.swapaxes(states, 0, 1)
 
 
@@ -181,5 +193,6 @@ def lstm_scan(params: LSTMParams, x: jax.Array,
         h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
         return (h_new, c_new), h_new
 
-    _, states = jax.lax.scan(step, (h0, c0), x_proj)
+    _, states = jax.lax.scan(step, (h0, c0), x_proj,
+                             unroll=_default_unroll())
     return states if time_major_out else jnp.swapaxes(states, 0, 1)
