@@ -26,8 +26,15 @@ class AbstractNoAtt(nn.Module):
     vocab_answers: Tuple[str, ...]
 
     def setup(self):
+        from ..core.policy import compute_dtype
+
         self.seq2vec = seq2vec_mod.factory(self.vocab_words, self.opt["seq2vec"])
-        self.linear_classif = nn.Dense(len(self.vocab_answers))
+        # the answer head follows the compute policy like the other hot
+        # GEMMs (params stay f32 via param_dtype; computation in policy
+        # dtype — profiler showed this dot running f32 and staging the f32
+        # weight every step under the bf16 policy)
+        self.linear_classif = nn.Dense(len(self.vocab_answers),
+                                       dtype=compute_dtype())
         self.fusion_module = self._make_fusion()
 
     def _make_fusion(self) -> nn.Module:
@@ -66,7 +73,9 @@ class AbstractNoAtt(nn.Module):
         if "activation" in opt_c:
             x = fusion_mod.activation(opt_c["activation"])(x)
         x = dropout(self, x, opt_c["dropout"], deterministic)
-        return self.linear_classif(x)
+        import jax.numpy as jnp
+
+        return self.linear_classif(x).astype(jnp.float32)
 
     # -- full forward --------------------------------------------------------
     def __call__(self, input_v: jax.Array, input_q: jax.Array,
