@@ -13,7 +13,9 @@ Measured on one v5e chip: B=64 ~15k examples/sec; B=256 ~26.3-26.9k;
 B=384 ~28.5k -> 31.3k after time-major RNN scans -> 32.8k after
 partitioning frozen params out of grad/Adam -> 53.6k with the q_emb cache
 -> 70.3k with the per-image fusion v-projection cache -> 72.7k with the
-bf16 compute policy (B=768 measured 69.1k; B=384 stays the default).
+bf16 compute policy -> 78.1k with the no-concat scorer -> 100.9k with
+bf16-resident tables -> 104.3k with the policy-typed answer head
+(B=768 measured 98.4k; B=384 stays the default).
 B=512 programs fail with transient 'UNAVAILABLE: TPU device error' on most
 attempts on the tunneled chip (2026-08-16: 1 success / 7 tries; a failed
 B=512 program wedges the chip for minutes), so the default stays at the
