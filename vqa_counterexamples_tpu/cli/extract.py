@@ -91,8 +91,11 @@ def main(argv=None):
               % (dict(zip(mesh.axis_names, mesh.devices.shape)),
                  mesh.devices.size))
 
+    # params enter as an argument, not a closure: closed-over params become
+    # compile-time constants, bloating persistent-cache entries with the
+    # full ResNet weights and slowing compilation
     @jax.jit
-    def forward(batch):
+    def forward(params, batch):
         att = model.apply({"params": params}, batch)     # (B, 14, 14, 2048)
         noatt = jnp.mean(att, axis=(1, 2))               # true spatial mean
         return att, noatt
@@ -110,7 +113,7 @@ def main(argv=None):
         if mesh is not None:
             arr = jax.device_put(arr, batch_sharding(mesh))
         with mesh_context(mesh):
-            att, noatt = forward(arr)
+            att, noatt = forward(params, arr)
         if pad:
             att, noatt = att[:n_real], noatt[:n_real]
         return att, noatt

@@ -95,8 +95,11 @@ def precompute_q_emb(model, params, question_wids, batch_size: int = 4096):
     n = wids.shape[0]
     chunk = min(batch_size, n)
 
+    # params enter as an argument, not a closure: closed-over params become
+    # compile-time constants, which bloats persistent-cache entries with the
+    # full weight tables and slows compilation
     @jax.jit
-    def encode(w):
+    def encode(params, w):
         return model.apply(
             {"params": params}, w,
             method=lambda m, w: m.vqa_model.encode_question(w, True))
@@ -109,7 +112,7 @@ def precompute_q_emb(model, params, question_wids, batch_size: int = 4096):
             block = np.concatenate(
                 [block, np.zeros((chunk - n_valid, wids.shape[1]),
                                  wids.dtype)], axis=0)
-        outs.append(encode(jnp.asarray(block))[:n_valid])
+        outs.append(encode(params, jnp.asarray(block))[:n_valid])
     return jnp.concatenate(outs, axis=0)
 
 
@@ -132,8 +135,9 @@ def precompute_v_proj(model, params, features, batch_size: int = 8192):
     n = feats.shape[0]
     chunk = min(batch_size, n)
 
+    # params as an argument, not a closure (see precompute_q_emb)
     @jax.jit
-    def project(v):
+    def project(params, v):
         return model.apply(
             {"params": params}, v,
             method=lambda m, v: m.vqa_model.project_image(v, True))
@@ -146,7 +150,7 @@ def precompute_v_proj(model, params, features, batch_size: int = 8192):
             block = jnp.concatenate(
                 [block, jnp.zeros((chunk - n_valid, feats.shape[1]),
                                   feats.dtype)], axis=0)
-        outs.append(project(block)[:n_valid])
+        outs.append(project(params, block)[:n_valid])
     return jnp.concatenate(outs, axis=0)
 
 
