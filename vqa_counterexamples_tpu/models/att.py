@@ -33,19 +33,22 @@ class AbstractAtt(nn.Module):
     vocab_answers: Tuple[str, ...]
 
     def setup(self):
+        from ..core.policy import compute_dtype
+
         opt = self.opt
+        dt = compute_dtype()  # hot GEMMs follow the policy; params stay f32
         self.seq2vec = seq2vec_mod.factory(self.vocab_words, opt["seq2vec"])
         # attention tower (1x1 convs as Dense over channels-last)
-        self.conv_v_att = nn.Dense(opt["attention"]["dim_v"])
-        self.linear_q_att = nn.Dense(opt["attention"]["dim_q"])
-        self.conv_att = nn.Dense(opt["attention"]["nb_glimpses"])
+        self.conv_v_att = nn.Dense(opt["attention"]["dim_v"], dtype=dt)
+        self.linear_q_att = nn.Dense(opt["attention"]["dim_q"], dtype=dt)
+        self.conv_att = nn.Dense(opt["attention"]["nb_glimpses"], dtype=dt)
         # classification tower
         nb = opt["attention"]["nb_glimpses"]
         self.list_linear_v_fusion = [
-            nn.Dense(self._glimpse_fusion_dim())
+            nn.Dense(self._glimpse_fusion_dim(), dtype=dt)
             for i in range(nb)]
-        self.linear_q_fusion = nn.Dense(self._q_fusion_dim())
-        self.linear_classif = nn.Dense(len(self.vocab_answers))
+        self.linear_q_fusion = nn.Dense(self._q_fusion_dim(), dtype=dt)
+        self.linear_classif = nn.Dense(len(self.vocab_answers), dtype=dt)
         self.fusion_att_module = self._make_fusion_att()
         self.fusion_classif_module = self._make_fusion_classif()
 
@@ -123,7 +126,8 @@ class AbstractAtt(nn.Module):
         if "activation" in opt_c:
             x = fusion_mod.activation(opt_c["activation"])(x)
         x = dropout(self, x, opt_c["dropout"], deterministic)
-        return self.linear_classif(x)
+        # logits back to f32 for the loss/softmax regardless of GEMM policy
+        return self.linear_classif(x).astype(jnp.float32)
 
     def encode_question(self, input_q: jax.Array,
                         deterministic: bool = True) -> jax.Array:
