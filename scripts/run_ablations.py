@@ -54,7 +54,9 @@ def run_one(cfg_path: str, cpu: bool) -> dict:
     # last epoch's val line: "Epoch 3 val: {'loss': ..., 'recall': ...}"
     matches = re.findall(r"Epoch \d+ val: ({.*})", out)
     if matches:
-        vals = eval(matches[-1])  # noqa: S307 - our own printed dict
+        # our own printed dict; nan/inf names appear when a config diverges
+        vals = eval(matches[-1],  # noqa: S307
+                    {"nan": float("nan"), "inf": float("inf")})
         row.update(loss=round(vals.get("loss", float("nan")), 4),
                    recall5=round(vals.get("recall", float("nan")), 4),
                    recall1=round(vals.get("recall_1", float("nan")), 4))

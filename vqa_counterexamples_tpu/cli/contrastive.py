@@ -110,16 +110,21 @@ def main(argv=None):
     use_cache = not args.trainable_vqa
     q_train = q_val = v_train = v_val = None
     if use_cache:
-        print("=> Precomputing frozen-backbone q_emb/v_proj caches...")
-        q_train = cx_engine.precompute_q_emb(model, state.params,
-                                             train_arrays.question_wids)
-        q_val = cx_engine.precompute_q_emb(model, state.params,
-                                           val_arrays.question_wids)
-        v_train = cx_engine.precompute_v_proj(model, state.params,
-                                              features_train)
-        v_val = (v_train if features_val is features_train
-                 else cx_engine.precompute_v_proj(model, state.params,
-                                                  features_val))
+        try:
+            print("=> Precomputing frozen-backbone q_emb/v_proj caches...")
+            q_train = cx_engine.precompute_q_emb(model, state.params,
+                                                 train_arrays.question_wids)
+            q_val = cx_engine.precompute_q_emb(model, state.params,
+                                               val_arrays.question_wids)
+            v_train = cx_engine.precompute_v_proj(model, state.params,
+                                                  features_train)
+            v_val = (v_train if features_val is features_train
+                     else cx_engine.precompute_v_proj(model, state.params,
+                                                      features_val))
+        except AssertionError as exc:  # per-rank dropout/activation configs
+            print("=> caches unavailable (%s); disabled" % exc)
+            use_cache = False
+            q_train = q_val = v_train = v_val = None
     train_step = ce.make_contrastive_train_step(model, optimizer,
                                                 base_seed=args.seed,
                                                 use_q_cache=use_cache,

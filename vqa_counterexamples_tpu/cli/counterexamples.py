@@ -70,9 +70,10 @@ def build_parser() -> argparse.ArgumentParser:
                              "recomputing the frozen GRU every step)")
     parser.add_argument("--no_v_cache", action="store_true",
                         help="disable the precomputed per-image fusion "
-                             "v-projection cache (identical numerics; cache "
-                             "only skips the frozen fusion v-side GEMMs "
-                             "every step)")
+                             "v-projection cache (numerically equivalent — "
+                             "last-ulp GEMM-shape differences only, see "
+                             "tests/test_v_cache.py; skips the frozen "
+                             "fusion v-side GEMMs every step)")
     parser.add_argument("--mesh", type=str, default=None,
                         help="data-parallel mesh spec, e.g. 'data=8': shards "
                              "the batch over devices, replicates params "

@@ -17,6 +17,7 @@ import optax
 
 from ..core import rng as rng_lib
 from ..ops.metrics import pairwise_distance, recall_at_k
+from .cx_engine import cache_kwargs, frozen_param_keys, split_params
 
 
 def contrastive_loss(out1: jax.Array, out2: jax.Array, label: jax.Array,
@@ -34,23 +35,10 @@ class ContrastiveState(NamedTuple):
     step: jax.Array
 
 
-def _cache_kwargs(batch, q_table, v_table):
-    """Frozen-backbone caches (see cx_engine.precompute_q_emb/v_proj):
-    q_table rows are per example, v_table rows per image."""
-    kw = {}
-    if q_table is not None:
-        kw["q_emb"] = jnp.take(q_table, batch["example_idxs"], axis=0)
-    if v_table is not None:
-        kw["v_proj"] = jnp.take(v_table, batch["image_idxs"], axis=0)
-    return kw
-
-
 def make_contrastive_train_step(model, optimizer, *, margin: float = 2.0,
                                 base_seed: int = 42,
                                 use_q_cache: bool = False,
                                 use_v_cache: bool = False) -> Callable:
-    from .cx_engine import frozen_param_keys, split_params
-
     root = rng_lib.root_key(base_seed)
     frozen_keys = frozen_param_keys(model)
     if ((use_q_cache or use_v_cache)
@@ -64,7 +52,7 @@ def make_contrastive_train_step(model, optimizer, *, margin: float = 2.0,
         batch_size = batch["comp_idxs"].shape[0]
         mask = jnp.arange(batch_size) < n_valid
         trainable, frozen = split_params(state.params, frozen_keys)
-        cache_kw = _cache_kwargs(batch, q_table, v_table)
+        cache_kw = cache_kwargs(batch, q_table, v_table)
 
         def loss_fn(trainable):
             params = {**trainable, **frozen}
@@ -112,7 +100,7 @@ def make_contrastive_eval_step(model, *, recall_k: int = 5,
         keys = rng_lib.step_keys(root, step, ("lesion",))
         batch_size = batch["comp_idxs"].shape[0]
         mask = jnp.arange(batch_size) < n_valid
-        cache_kw = _cache_kwargs(batch, q_table, v_table)
+        cache_kw = cache_kwargs(batch, q_table, v_table)
         image_features = jnp.take(features, batch["image_idxs"], axis=0)
         h = model.apply({"params": params}, image_features,
                         batch["question_wids"], batch["answer_aids"],

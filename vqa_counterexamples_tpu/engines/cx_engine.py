@@ -154,6 +154,18 @@ def precompute_v_proj(model, params, features, batch_size: int = 8192):
     return jnp.concatenate(outs, axis=0)
 
 
+def cache_kwargs(batch, q_table, v_table) -> dict:
+    """Model kwargs for the frozen-backbone caches: ``q_table`` rows are per
+    example (``batch['example_idxs']``), ``v_table`` rows per image
+    (``batch['image_idxs']``)."""
+    kw = {}
+    if q_table is not None:
+        kw["q_emb"] = jnp.take(q_table, batch["example_idxs"], axis=0)
+    if v_table is not None:
+        kw["v_proj"] = jnp.take(v_table, batch["image_idxs"], axis=0)
+    return kw
+
+
 def make_cx_train_step(model, optimizer, *, recall_k: int = 5,
                        base_seed: int = 42,
                        extra_apply_args: tuple = (),
@@ -189,12 +201,7 @@ def make_cx_train_step(model, optimizer, *, recall_k: int = 5,
         batch_size = batch["comp_idxs"].shape[0]
         mask = jnp.arange(batch_size) < n_valid
         trainable, frozen = split_params(state.params, frozen_keys)
-        q_kw = {}
-        if q_table is not None:
-            q_kw = {"q_emb": jnp.take(q_table, batch["example_idxs"],
-                                      axis=0)}
-        if v_table is not None:
-            q_kw["v_proj"] = jnp.take(v_table, batch["image_idxs"], axis=0)
+        q_kw = cache_kwargs(batch, q_table, v_table)
 
         def loss_fn(trainable):
             params = {**trainable, **frozen}
@@ -243,12 +250,7 @@ def make_cx_eval_step(model, *, recall_k: int = 5, base_seed: int = 123,
         batch_size = batch["comp_idxs"].shape[0]
         mask = jnp.arange(batch_size) < n_valid
         image_features = jnp.take(features, batch["image_idxs"], axis=0)
-        q_kw = {}
-        if q_table is not None:
-            q_kw = {"q_emb": jnp.take(q_table, batch["example_idxs"],
-                                      axis=0)}
-        if v_table is not None:
-            q_kw["v_proj"] = jnp.take(v_table, batch["image_idxs"], axis=0)
+        q_kw = cache_kwargs(batch, q_table, v_table)
         scores = model.apply(
             {"params": params}, image_features, batch["question_wids"],
             batch["answer_aids"], *extra_apply_args,

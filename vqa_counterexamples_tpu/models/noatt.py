@@ -14,6 +14,7 @@ from typing import Any, Mapping, Tuple
 
 import flax.linen as nn
 import jax
+import jax.numpy as jnp
 
 from . import fusion as fusion_mod
 from .common import dropout
@@ -73,8 +74,7 @@ class AbstractNoAtt(nn.Module):
         if "activation" in opt_c:
             x = fusion_mod.activation(opt_c["activation"])(x)
         x = dropout(self, x, opt_c["dropout"], deterministic)
-        import jax.numpy as jnp
-
+        # logits back to f32 for the loss/softmax regardless of GEMM policy
         return self.linear_classif(x).astype(jnp.float32)
 
     # -- full forward --------------------------------------------------------
