@@ -43,7 +43,8 @@ def main():
     opt["arch"] = args.arch
     opt["seq2vec"] = {"arch": "skipthoughts", "type": "BayesianUniSkip",
                       "dropout": 0.25, "fixed_emb": False}
-    if "Att" in args.arch:
+    is_att = args.arch.endswith("Att") and not args.arch.endswith("NoAtt")
+    if is_att:
         # reference configs/vqa2/mutan_att_train.yaml dims
         opt["dim_v"], opt["dim_q"] = 2048, 2400
         opt["attention"] = dict(
@@ -63,7 +64,7 @@ def main():
 
     rng = np.random.default_rng(0)
     # att models consume the (B, 14, 14, 2048) spatial feature map
-    visual_shape = ((args.batch, 14, 14, 2048) if "Att" in args.arch
+    visual_shape = ((args.batch, 14, 14, 2048) if is_att
                     else (args.batch, 2048))
     batch = {
         "visual": jnp.asarray(rng.standard_normal(

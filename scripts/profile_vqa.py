@@ -1,0 +1,81 @@
+"""Kernel-level trace of the VQA-pretraining train step.
+
+Runs a few steps of scripts/bench_vqa.py's exact workload under
+``jax.profiler.trace`` and prints the per-op device-time report via
+scripts/parse_xplane.py — the recurrence-bound step the roadmap targets.
+
+Usage: python scripts/profile_vqa.py [--batch 512] [--arch MutanNoAtt]
+       [--trace-dir /tmp/vqa_trace]
+"""
+
+import argparse
+import os
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=512)
+    ap.add_argument("--arch", type=str, default="MutanNoAtt")
+    ap.add_argument("--steps", type=int, default=8)
+    ap.add_argument("--trace-dir", type=str, default="/tmp/vqa_trace")
+    ap.add_argument("--top", type=int, default=25)
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from vqa_counterexamples_tpu.data import synthetic
+    from vqa_counterexamples_tpu.engines import vqa_engine
+    from vqa_counterexamples_tpu.models import factory
+
+    n_answers = 2000
+    opt = synthetic.tiny_vqa_options(dim_v=2048, nans=n_answers, dim_q=2400)
+    opt["arch"] = args.arch
+    opt["seq2vec"] = {"arch": "skipthoughts", "type": "BayesianUniSkip",
+                      "dropout": 0.25, "fixed_emb": False}
+    opt["fusion"].update(dim_hv=360, dim_hq=360, dim_mm=360, R=10)
+    vocab_words = ["w%d" % i for i in range(12000)]
+    vocab_answers = ["a%d" % i for i in range(n_answers)]
+    model = factory.factory_vqa(opt, vocab_words, vocab_answers)
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "visual": jnp.asarray(rng.standard_normal(
+            (args.batch, 2048), dtype=np.float32)),
+        "question": jnp.asarray(rng.integers(
+            1, len(vocab_words), (args.batch, 26), dtype=np.int64)
+            .astype(np.int32)),
+        "answer": jnp.asarray(rng.integers(
+            0, n_answers, (args.batch,), dtype=np.int64).astype(np.int32)),
+    }
+    optimizer = optax.adam(1e-4)
+    state = vqa_engine.init_vqa_state(model, optimizer, batch)
+    train_step = vqa_engine.make_vqa_train_step(model, optimizer)
+
+    state, _ = train_step(state, batch)  # compile outside the trace
+    jax.block_until_ready(state.params)
+
+    with jax.profiler.trace(args.trace_dir):
+        for _ in range(args.steps):
+            state, m = train_step(state, batch)
+        jax.block_until_ready(state.params)
+
+    subprocess.run([sys.executable,
+                    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "parse_xplane.py"),
+                    args.trace_dir, "--top", str(args.top)], check=False)
+
+
+if __name__ == "__main__":
+    main()

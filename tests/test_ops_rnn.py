@@ -92,3 +92,64 @@ def test_gru_variational_dropout_mask_shared_over_time():
                                rng=jax.random.key(s))
         outs.add(float(jnp.sum(out)))
     assert len(outs) > 1  # masks differ across rngs
+
+
+@pytest.mark.parametrize("dropout", [0.0, 0.4])
+def test_gru_split_backward_grad_parity(monkeypatch, dropout):
+    """The hand-written split VJP (_gru_core) must match jax's automatic
+    scan transpose for every input: weights, biases, inputs, h0."""
+    B, T, D, H = 3, 7, 5, 12
+    params = rnn_ops.gru_init(jax.random.key(0), D, H)
+    x = jax.random.normal(jax.random.key(1), (B, T, D))
+    rng = jax.random.key(7)
+
+    def loss(params, x):
+        states = rnn_ops.gru_scan(params, x, dropout=dropout,
+                                  deterministic=dropout == 0.0, rng=rng,
+                                  time_major_out=True)
+        lengths = jnp.asarray([T, T - 2, 3])
+        last = rnn_ops.select_last_tm(states, lengths)
+        return jnp.sum(last ** 2) + 0.1 * jnp.sum(states)
+
+    grads = {}
+    for flag in ("0", "1"):
+        monkeypatch.setenv("VQACX_RNN_SPLIT_BWD", flag)
+        grads[flag] = jax.grad(loss, argnums=(0, 1))(params, x)
+    for a, b in zip(jax.tree_util.tree_leaves(grads["0"]),
+                    jax.tree_util.tree_leaves(grads["1"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
+
+
+def test_gru_split_backward_value_parity(monkeypatch):
+    """Forward values are identical with the split VJP on and off."""
+    B, T, D, H = 2, 5, 4, 6
+    params = rnn_ops.gru_init(jax.random.key(3), D, H)
+    x = jax.random.normal(jax.random.key(4), (B, T, D))
+    outs = {}
+    for flag in ("0", "1"):
+        monkeypatch.setenv("VQACX_RNN_SPLIT_BWD", flag)
+        outs[flag] = np.asarray(rnn_ops.gru_scan(params, x))
+    np.testing.assert_array_equal(outs["0"], outs["1"])
+
+
+def test_lstm_split_backward_grad_parity(monkeypatch):
+    """Split VJP for the LSTM matches jax's automatic scan transpose."""
+    B, T, D, H = 3, 6, 5, 9
+    params = rnn_ops.lstm_init(jax.random.key(0), D, H)
+    x = jax.random.normal(jax.random.key(1), (B, T, D))
+
+    def loss(params, x):
+        states = rnn_ops.lstm_scan(params, x, time_major_out=True)
+        lengths = jnp.asarray([T, T - 1, 2])
+        last = rnn_ops.select_last_tm(states, lengths)
+        return jnp.sum(last ** 2) + 0.1 * jnp.sum(states)
+
+    grads = {}
+    for flag in ("0", "1"):
+        monkeypatch.setenv("VQACX_RNN_SPLIT_BWD", flag)
+        grads[flag] = jax.grad(loss, argnums=(0, 1))(params, x)
+    for a, b in zip(jax.tree_util.tree_leaves(grads["0"]),
+                    jax.tree_util.tree_leaves(grads["1"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
