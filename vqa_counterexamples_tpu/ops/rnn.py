@@ -35,16 +35,32 @@ def process_lengths(wids: jax.Array) -> jax.Array:
     return max_length - jnp.sum(wids == 0, axis=1)
 
 
+def _length_onehot(lengths: jax.Array, max_length: int) -> jax.Array:
+    idx = jnp.clip(lengths - 1, 0, max_length - 1).astype(jnp.int32)
+    return jax.nn.one_hot(idx, max_length, dtype=jnp.float32)
+
+
 def select_last(states: jax.Array, lengths: jax.Array) -> jax.Array:
-    """Gather hidden state at timestep ``length-1``; reference seq2vec.py:16-25."""
-    idx = jnp.clip(lengths - 1, 0, states.shape[1] - 1).astype(jnp.int32)
-    return jnp.take_along_axis(states, idx[:, None, None], axis=1)[:, 0, :]
+    """Gather hidden state at timestep ``length-1``; reference seq2vec.py:16-25.
+
+    Formulated as a one-hot contraction over the (short) time axis rather
+    than ``take_along_axis``: the per-example gather — and its scatter-add
+    transpose — lower to B tiny dynamic-slice ops on TPU (~1.3 ms/step of
+    (1, 1, H) micro-work at B=512 in the VQA train step, xplane-measured);
+    the one-hot einsum is one dense (B,T) x (B,T,H) contraction and its
+    backward is a dense outer product.  Exact same values: the mask selects
+    a single row (multiply by {0,1}, sum of one nonzero term).
+    """
+    onehot = _length_onehot(lengths, states.shape[1])
+    return jnp.einsum("bt,bth->bh", onehot,
+                      states.astype(jnp.float32)).astype(states.dtype)
 
 
 def select_last_tm(states_tm: jax.Array, lengths: jax.Array) -> jax.Array:
     """``select_last`` over time-major states (T, B, H) — no transpose copy."""
-    idx = jnp.clip(lengths - 1, 0, states_tm.shape[0] - 1).astype(jnp.int32)
-    return jnp.take_along_axis(states_tm, idx[None, :, None], axis=0)[0]
+    onehot = _length_onehot(lengths, states_tm.shape[0])
+    return jnp.einsum("bt,tbh->bh", onehot,
+                      states_tm.astype(jnp.float32)).astype(states_tm.dtype)
 
 
 class GRUParams(NamedTuple):
@@ -78,13 +94,21 @@ def _default_unroll() -> int:
 
 
 def _split_bwd_enabled() -> bool:
-    """Use the hand-written split backward for the recurrences (default on).
+    """Opt into the hand-written split backward for the recurrences.
 
-    ``VQACX_RNN_SPLIT_BWD=0`` restores jax's automatic scan transpose.
+    Default OFF: measured 17.7k vs 19.5k examples/sec on the VQA-pretrain
+    step (v5e, B=512, f32, 2026-08-17).  The xplane trace shows why jax's
+    automatic scan transpose wins here: XLA fuses the per-step dW_hh
+    accumulation into the GEMM epilogue at ~105us/iter (near roofline) and
+    saves gate residuals partly in bf16, while the split VJP pays an extra
+    f32 (T, B, 3H) h_proj residual stack write (~2.7 ms/step at reference
+    dims).  Kept as ``VQACX_RNN_SPLIT_BWD=1`` for re-testing on hardware
+    with different fusion behavior; grad parity is pinned in
+    tests/test_ops_rnn.py.
     """
     import os
 
-    return os.environ.get("VQACX_RNN_SPLIT_BWD", "1") == "1"
+    return os.environ.get("VQACX_RNN_SPLIT_BWD", "0") == "1"
 
 
 def _gru_step(w_hh: jax.Array, b_hh: jax.Array, h: jax.Array, xp: jax.Array,
