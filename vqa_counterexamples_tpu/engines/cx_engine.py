@@ -125,8 +125,10 @@ def precompute_v_proj(model, params, features, batch_size: int = 8192):
     rows per step).  Precomputing it per *image* — there are ~83k distinct
     images vs ~200k examples x 25 candidates per epoch — turns the per-step
     fusion into a gather + rank-wise multiply-sum.  Returns an
-    (n_images, R*dim_mm) device array aligned with the feature-matrix row
-    order (gathered by ``batch['image_idxs']``); activations are bitwise what
+    (n_images, R, dim_mm) device array (MUTAN; pre-tiled so the per-step
+    gather lands in the rank multiply-sum's layout — no per-row retile
+    copy) aligned with the feature-matrix row order (gathered by
+    ``batch['image_idxs']``); activations are bitwise what
     the in-step fusion would produce.  ~1.2 GB f32 for COCO train at
     reference dims (R=10, dim_mm=360) — comfortably HBM-resident next to the
     680 MB feature matrix.

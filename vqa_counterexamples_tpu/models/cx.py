@@ -245,7 +245,16 @@ class NeuralModel(CXModelBase):
             (ans_size, self.dim_a))
         a_emb_knns = a_emb_factored = None
         if spec["a_emb"]:
-            a_emb_gt = answer_embedding[answer_aids.astype(jnp.int32)]
+            # one-hot contraction instead of a row gather: the gather's
+            # scatter-add transpose into the (2000, 2400) trainable table
+            # dominates the answer-embedding backward (xplane: 0.29 ms/step
+            # at B=384); the one-hot GEMM's transpose is a dense
+            # (ans, B) x (B, dim_a) MXU matmul.  Exact same rows (multiply
+            # by {0,1}, sum of one nonzero term per row).
+            onehot_gt = jax.nn.one_hot(answer_aids.astype(jnp.int32),
+                                       ans_size, dtype=jnp.float32)
+            a_emb_gt = jnp.dot(onehot_gt, answer_embedding,
+                               preferred_element_type=jnp.float32)
             # soft mixture of answer embeddings (reference bmm, cx.py:279-282)
             # — consumed only by the scorer's first layer, so it is passed in
             # factored (probs, table) form and re-associated there
