@@ -44,15 +44,31 @@ def main():
     opt["arch"] = args.arch
     opt["seq2vec"] = {"arch": "skipthoughts", "type": "BayesianUniSkip",
                       "dropout": 0.25, "fixed_emb": False}
-    opt["fusion"].update(dim_hv=360, dim_hq=360, dim_mm=360, R=10)
+    is_att = args.arch.endswith("Att") and not args.arch.endswith("NoAtt")
+    if is_att:
+        # reference configs/vqa2/mutan_att_train.yaml dims (see bench_vqa.py)
+        opt["dim_v"], opt["dim_q"] = 2048, 2400
+        opt["attention"] = dict(
+            nb_glimpses=2, dim_hv=310, dim_hq=310, dim_mm=510, R=5,
+            dropout_v=0.5, dropout_q=0.5, dropout_mm=0.5,
+            activation_v="tanh", activation_q="tanh",
+            dropout_hv=0, dropout_hq=0, dim_h=310)
+        opt["fusion"] = dict(
+            dim_v=2048 * 2, dim_q=2400, dim_hv=620, dim_hq=310, dim_mm=510,
+            R=5, dropout_v=0.5, dropout_q=0.5, activation_v="tanh",
+            activation_q="tanh", dropout_hv=0, dropout_hq=0)
+    else:
+        opt["fusion"].update(dim_hv=360, dim_hq=360, dim_mm=360, R=10)
     vocab_words = ["w%d" % i for i in range(12000)]
     vocab_answers = ["a%d" % i for i in range(n_answers)]
     model = factory.factory_vqa(opt, vocab_words, vocab_answers)
 
     rng = np.random.default_rng(0)
+    visual_shape = ((args.batch, 14, 14, 2048) if is_att
+                    else (args.batch, 2048))
     batch = {
         "visual": jnp.asarray(rng.standard_normal(
-            (args.batch, 2048), dtype=np.float32)),
+            visual_shape, dtype=np.float32)),
         "question": jnp.asarray(rng.integers(
             1, len(vocab_words), (args.batch, 26), dtype=np.int64)
             .astype(np.int32)),
