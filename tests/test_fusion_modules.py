@@ -80,3 +80,29 @@ def test_mutan_fusion_2d_equals_flattened_1d():
                           deterministic=True)
     np.testing.assert_allclose(np.asarray(out).reshape(12, 4),
                                np.asarray(out1d), rtol=1e-6)
+
+
+def test_fuse_candidates_training_mode_no_internal_dropout():
+    """With both embeddings disabled the fusion has no internal dropout, so
+    the candidate-fused path (q-side once per example — the attention-stage
+    formulation, att.py) must equal the duplicated path EXACTLY even in
+    training mode (MutanFusion._has_input_dropout)."""
+    opt = {"dim_hv": 6, "dim_hq": 6, "dim_mm": 4, "R": 2,
+           "dropout_v": 0.5, "dropout_q": 0.5,  # declared but never drawn:
+           "dropout_hv": 0, "dropout_hq": 0}    # embeddings are disabled
+    model = MutanFusion(opt, visual_embedding=False, question_embedding=False)
+    rng = np.random.default_rng(3)
+    v = jnp.asarray(rng.normal(size=(3, 5, 6)), jnp.float32)   # (B, K, dh)
+    q = jnp.asarray(rng.normal(size=(3, 6)), jnp.float32)      # (B, dh)
+    variables = model.init({"params": jax.random.key(0)}, v[:, 0], q,
+                           deterministic=True)
+
+    fused = model.apply(variables, v, q, deterministic=False,
+                        rngs={"dropout": jax.random.key(1)},
+                        method=lambda m, v, q, deterministic: m.fuse_candidates(
+                            v, q, deterministic=deterministic))
+    q_dup = jnp.broadcast_to(q[:, None, :], (3, 5, 6)).reshape(15, 6)
+    dup = model.apply(variables, v.reshape(15, 6), q_dup, deterministic=False,
+                      rngs={"dropout": jax.random.key(1)})
+    np.testing.assert_allclose(np.asarray(fused).reshape(15, 4),
+                               np.asarray(dup), rtol=1e-5, atol=1e-6)

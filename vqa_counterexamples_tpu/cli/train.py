@@ -56,8 +56,14 @@ def _synthetic_vqa(n, options, seed):
     maxlength = options["vqa"]["maxlength"]
     n_words = 80
     n_images = max(64, n // 4)
-    dim_v = options["model"]["fusion"]["dim_v"]
-    feats = rng.normal(size=(n_images, dim_v)).astype(np.float32)
+    model_opt = options["model"]
+    arch = model_opt.get("arch", "")
+    # att archs consume the spatial (14, 14, C) feature map; dim_v lives at
+    # the model level in att configs (reference options/vqa2/mutan_att_*)
+    is_att = arch.endswith("Att") and not arch.endswith("NoAtt")
+    dim_v = model_opt.get("dim_v") or model_opt["fusion"]["dim_v"]
+    shape = (n_images, 14, 14, dim_v) if is_att else (n_images, dim_v)
+    feats = rng.normal(size=shape).astype(np.float32)
     names = ["COCO_train2014_%012d.jpg" % i for i in range(n_images)]
     store = FeatureStore(feats, names)
     vocab_words, vocab_answers = synthetic.synthetic_vocab(n_words, nans)

@@ -88,8 +88,14 @@ class AbstractAtt(nn.Module):
         x_q = self.linear_q_att(x_q)
         if "activation_q" in opt_att:
             x_q = fusion_mod.activation(opt_att["activation_q"])(x_q)
-        x_q = jnp.broadcast_to(x_q[:, None, :], (batch, wh, x_q.shape[-1]))
 
+        # x_q stays (B, dim_hq) — NOT broadcast to every spatial position.
+        # The reference tiles q over W*H (att.py:76-83) and pays the fusion's
+        # q-side work 196x; here each _fusion_att computes the q side once
+        # per example (MUTAN: rank projection as one (B, R, dim_mm) GEMM,
+        # contracted against the per-position hv — xplane showed the tiled
+        # formulation materializing ~750 MB/step of f32 broadcast/reshape at
+        # B=128).
         x_att = self._fusion_att(x_v, x_q, deterministic)
         if "activation_mm" in opt_att:
             x_att = fusion_mod.activation(opt_att["activation_mm"])(x_att)
@@ -164,7 +170,9 @@ class MLBAtt(AbstractAtt):
         return None
 
     def _fusion_att(self, x_v, x_q, deterministic):
-        return x_v * x_q
+        # Hadamard over (B, WH, dh) x (B, dh): the broadcast fuses into the
+        # multiply, nothing is materialized
+        return x_v * x_q[:, None, :]
 
     def _fusion_classif(self, x_v, x_q, deterministic):
         return x_v * x_q
@@ -191,7 +199,12 @@ class MutanAtt(AbstractAtt):
                                       question_embedding=False)
 
     def _fusion_att(self, x_v, x_q, deterministic):
-        return self.fusion_att_module(x_v, x_q, deterministic=deterministic)
+        # candidate-axis MUTAN with positions as candidates: the q-side rank
+        # projection runs once per example; exact in training mode too since
+        # this module has both embeddings disabled (no internal dropout —
+        # see MutanFusion._has_input_dropout)
+        return self.fusion_att_module.fuse_candidates(
+            x_v, x_q, deterministic=deterministic)
 
     def _fusion_classif(self, x_v, x_q, deterministic):
         return self.fusion_classif_module(x_v, x_q,

@@ -139,6 +139,20 @@ class MutanFusion(nn.Module):
                 and "activation_hv" not in opt
                 and "activation_hq" not in opt)
 
+    @property
+    def _has_input_dropout(self):
+        """True when the module itself draws dropout masks on its inputs.
+
+        With both embeddings disabled (the attention-stage configuration —
+        dropout happens in the caller's tower) the module is a pure
+        function, so the candidate-fused path is exact even in training
+        mode; with embeddings on, training mode must fall back to the
+        duplicated path to draw independent per-candidate masks like the
+        reference."""
+        opt = self.opt
+        return ((self.visual_embedding and opt.get("dropout_v", 0) > 0)
+                or (self.question_embedding and opt.get("dropout_q", 0) > 0))
+
     def _v_side(self, input_v, deterministic):
         opt = self.opt
         if not self.visual_embedding:
@@ -261,7 +275,8 @@ class MutanFusion(nn.Module):
                 x_mm = activation(opt["activation_mm"])(x_mm)
             return x_mm
         batch, k1 = input_v.shape[:2]
-        if not deterministic or not self._simple:
+        if ((not deterministic and self._has_input_dropout)
+                or not self._simple):
             q_dup = jnp.broadcast_to(
                 input_q[:, None, :],
                 (batch, k1, input_q.shape[-1])).reshape(batch * k1, -1)
