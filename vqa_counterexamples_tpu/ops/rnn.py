@@ -242,10 +242,19 @@ def gru_scan(params: GRUParams, x: jax.Array, *, dropout: float = 0.0,
 
     u = unroll or _default_unroll()
     if _split_bwd_enabled():
+        # the custom-VJP path keeps x_proj f32 (cotangent dtypes must match)
         ones = mask_h if mask_h is not None \
             else jnp.ones((batch, dim_h), x_proj.dtype)
         states = _gru_core(u, w_hh, params.b_hh, x_proj, h0, ones)
     else:
+        # Under the bf16 policy, store the (T, B, 3H) projection stack bf16:
+        # it is the step's largest tensor (383 MB f32 at B=512 reference
+        # dims), re-read once per scan iteration, relayout-copied by XLA at
+        # some shapes, and its cotangent stack is materialized by the
+        # backward scan — halving it halves all of that HBM traffic.  Gate
+        # math still accumulates f32 (bf16 xp promotes on add with the f32
+        # recurrent projection).  No-op under the default f32 policy.
+        x_proj = x_proj.astype(compute_dtype())
         def step(h, xp):
             h_in = h * mask_h if mask_h is not None else h
             h_proj = jnp.dot(h_in.astype(w_hh.dtype), w_hh,
@@ -391,8 +400,12 @@ def lstm_scan(params: LSTMParams, x: jax.Array,
 
     u = _default_unroll()
     if _split_bwd_enabled():
+        # the custom-VJP path keeps x_proj f32 (cotangent dtypes must match)
         states = _lstm_core(u, w_hh, params.b_hh, x_proj, h0, c0)
     else:
+        # bf16 projection stack under the policy — see gru_scan
+        x_proj = x_proj.astype(compute_dtype())
+
         def step(carry, xp):
             h, c = carry
             gates = xp + jnp.dot(
