@@ -123,6 +123,20 @@ def main():
     # the per-step MUTAN fusion collapses to gather + rank multiply-sum
     # (tests/test_v_cache.py pins the numerics).
     use_v_cache = os.environ.get("VQACX_BENCH_VCACHE", "1") == "1"
+    # Scanned trainer (opt-in, VQACX_BENCH_SCAN=1): SCAN_LEN steps per
+    # dispatch via cx_engine.make_cx_train_scan.  Measured SLOWER here —
+    # 119.2k vs 128.8k examples/sec back-to-back (2026-08-17): the scan
+    # carries the trainable params + Adam state through the loop at
+    # ~0.17 ms/step of device-time overhead (xplane: 2.57 vs 2.40 ms/step)
+    # and the tunneled chip's per-dispatch RPC cost is not amortized the
+    # way a local runtime would.  Numerics identical to sequential steps
+    # (tests/test_cx_scan.py); kept for dispatch-latency-bound deployments.
+    scan_len = (int(os.environ.get("VQACX_BENCH_SCAN_LEN", "10"))
+                if os.environ.get("VQACX_BENCH_SCAN", "0") == "1" else 0)
+    if scan_len:
+        train_scan = cx_engine.make_cx_train_scan(model, optimizer,
+                                                  use_q_cache=use_q_cache,
+                                                  use_v_cache=use_v_cache)
     train_step = cx_engine.make_cx_train_step(model, optimizer,
                                               use_q_cache=use_q_cache,
                                               use_v_cache=use_v_cache)
@@ -165,19 +179,35 @@ def main():
     jax.block_until_ready(batches)
     nv = jnp.asarray(float(BATCH_SIZE), jnp.float32)
 
-    for i in range(N_WARMUP):
-        state, m = train_step(state, features, batches[i % len(batches)], nv,
-                              *extra)
-    jax.block_until_ready(state.params)
+    if scan_len:
+        stacked = cx_engine.stack_batches(
+            [batches[j % len(batches)] for j in range(scan_len)])
+        n_valids = jnp.full((scan_len,), float(BATCH_SIZE), jnp.float32)
+        jax.block_until_ready(stacked)
+        state, m = train_scan(state, features, stacked, n_valids, *extra)
+        jax.block_until_ready(state.params)
+        n_dispatches = max(N_STEPS // scan_len, 1)
+        t0 = time.time()
+        for _ in range(n_dispatches):
+            state, m = train_scan(state, features, stacked, n_valids, *extra)
+        jax.block_until_ready(state.params)
+        dt = time.time() - t0
+        measured_steps = n_dispatches * scan_len
+    else:
+        for i in range(N_WARMUP):
+            state, m = train_step(state, features,
+                                  batches[i % len(batches)], nv, *extra)
+        jax.block_until_ready(state.params)
 
-    t0 = time.time()
-    for i in range(N_STEPS):
-        state, m = train_step(state, features, batches[i % len(batches)], nv,
-                              *extra)
-    jax.block_until_ready(state.params)
-    dt = time.time() - t0
+        t0 = time.time()
+        for i in range(N_STEPS):
+            state, m = train_step(state, features,
+                                  batches[i % len(batches)], nv, *extra)
+        jax.block_until_ready(state.params)
+        dt = time.time() - t0
+        measured_steps = N_STEPS
 
-    value = BATCH_SIZE * N_STEPS / dt
+    value = BATCH_SIZE * measured_steps / dt
     n_chips = jax.device_count()
     value_per_chip = value / max(n_chips, 1)
 
@@ -192,7 +222,7 @@ def main():
         if isinstance(analysis, list):  # older jax returns one dict per device
             analysis = analysis[0]
         step_flops = float(analysis["flops"])
-        flops_per_sec = step_flops * N_STEPS / dt
+        flops_per_sec = step_flops * measured_steps / dt
         tflops = round(flops_per_sec / 1e12, 2)
         peak = PEAK_FLOPS.get(jax.devices()[0].device_kind)
         if peak:
@@ -209,6 +239,7 @@ def main():
         "mfu": mfu,
         "tflops_per_sec": tflops,
         "batch_size": BATCH_SIZE,
+        "scan_len": scan_len,
         "pallas": os.environ.get("VQACX_ENABLE_PALLAS") == "1",
         "q_cache": use_q_cache,
         "v_cache": use_v_cache,

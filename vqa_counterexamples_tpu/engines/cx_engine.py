@@ -186,11 +186,11 @@ def make_cx_train_step(model, optimizer, *, recall_k: int = 5,
     :func:`precompute_v_proj`) and the model skips the fusion v-side GEMMs.
     Either cache is only valid when the VQA backbone is frozen.
     """
-    root = rng_lib.root_key(base_seed)
-    frozen_keys = frozen_param_keys(model)
-    if ((use_q_cache or use_v_cache)
-            and getattr(model, "trainable_vqa", False)):
-        raise ValueError("q_emb/v_proj caches require a frozen VQA backbone")
+    body = _make_cx_step_body(model, optimizer, recall_k=recall_k,
+                              base_seed=base_seed,
+                              extra_apply_args=extra_apply_args,
+                              use_q_cache=use_q_cache,
+                              use_v_cache=use_v_cache)
 
     # donate the state: params/opt-state buffers are reused in place, halving
     # the step's HBM allocation traffic; the frozen subtree (vqa_model with
@@ -199,6 +199,24 @@ def make_cx_train_step(model, optimizer, *, recall_k: int = 5,
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: CXTrainState, features, batch, n_valid,
                    q_table=None, v_table=None):
+        return body(state, features, batch, n_valid, q_table, v_table)
+
+    return train_step
+
+
+def _make_cx_step_body(model, optimizer, *, recall_k: int, base_seed: int,
+                       extra_apply_args: tuple, use_q_cache: bool,
+                       use_v_cache: bool) -> Callable:
+    """Traceable (un-jitted) single train step shared by the per-step and
+    scanned trainers."""
+    root = rng_lib.root_key(base_seed)
+    frozen_keys = frozen_param_keys(model)
+    if ((use_q_cache or use_v_cache)
+            and getattr(model, "trainable_vqa", False)):
+        raise ValueError("q_emb/v_proj caches require a frozen VQA backbone")
+
+    def step_body(state: CXTrainState, features, batch, n_valid,
+                  q_table, v_table):
         keys = rng_lib.step_keys(root, state.step, ("dropout", "lesion"))
         batch_size = batch["comp_idxs"].shape[0]
         mask = jnp.arange(batch_size) < n_valid
@@ -230,7 +248,70 @@ def make_cx_train_step(model, optimizer, *, recall_k: int = 5,
         return new_state, {"loss": loss, "correct": correct,
                            "n": n_valid.astype(jnp.float32)}
 
-    return train_step
+    return step_body
+
+
+def make_cx_train_scan(model, optimizer, *, recall_k: int = 5,
+                       base_seed: int = 42,
+                       extra_apply_args: tuple = (),
+                       use_q_cache: bool = False,
+                       use_v_cache: bool = False) -> Callable:
+    """Multi-step trainer: ``train_scan(state, features, batches, n_valids
+    [, q_table[, v_table]])`` runs S train steps in ONE dispatch.
+
+    ``batches`` is the per-step batch dict with a leading step axis S on
+    every array; ``n_valids`` is (S,) f32.  Numerically identical to S
+    sequential :func:`make_cx_train_step` calls — the per-step dropout and
+    lesion keys fold on ``state.step``, which increments through the scan
+    carry.  Metrics come back stacked, one row per step.
+
+    Why it exists: batch int arrays are tiny (~80 KB per step), so an
+    epoch's indices sit on device and a whole epoch can run as a handful of
+    dispatches — the right shape when per-dispatch latency dominates (e.g.
+    a remote runtime).  Measured on the tunneled v5e at B=384 it is a net
+    LOSS for the headline workload (119.2k vs 128.8k examples/sec,
+    2026-08-17): the scan carries trainable params + Adam state through the
+    loop at ~0.17 ms/step of device overhead (xplane: 2.57 vs 2.40 ms/step)
+    while sequential async dispatch already hides most host latency.  The
+    bench therefore keeps one-step dispatches by default
+    (VQACX_BENCH_SCAN=1 opts in).
+    """
+    body = _make_cx_step_body(model, optimizer, recall_k=recall_k,
+                              base_seed=base_seed,
+                              extra_apply_args=extra_apply_args,
+                              use_q_cache=use_q_cache,
+                              use_v_cache=use_v_cache)
+    frozen_keys = frozen_param_keys(model)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_scan(state: CXTrainState, features, batches, n_valids,
+                   q_table=None, v_table=None):
+        # carry only what the step actually updates: the frozen VQA subtree
+        # (~150 MB at reference dims) rides as a loop-invariant operand, not
+        # a scan carry — XLA copies carries it cannot alias
+        trainable, frozen = split_params(state.params, frozen_keys)
+
+        def f(carry, xs):
+            tr, opt_state, step = carry
+            batch, n_valid = xs
+            st = CXTrainState({**tr, **frozen}, opt_state, step)
+            new_state, metrics = body(st, features, batch, n_valid,
+                                      q_table, v_table)
+            new_tr, _ = split_params(new_state.params, frozen_keys)
+            return (new_tr, new_state.opt_state, new_state.step), metrics
+
+        (tr, opt_state, step), metrics = jax.lax.scan(
+            f, (trainable, state.opt_state, state.step),
+            (batches, n_valids))
+        return CXTrainState({**tr, **frozen}, opt_state, step), metrics
+
+    return train_scan
+
+
+def stack_batches(batches: list) -> dict:
+    """Stack a list of batch dicts into one leading-step-axis dict for
+    :func:`make_cx_train_scan`."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
 
 
 def make_cx_eval_step(model, *, recall_k: int = 5, base_seed: int = 123,
