@@ -291,11 +291,32 @@ class MutanFusion(nn.Module):
         x_q = self._q_side(input_q, deterministic)
         xv, wv = cast_in(x_v, self.w_hv)
         xq, wq = cast_in(x_q, self.w_hq)
-        hv = (jnp.dot(xv, wv, preferred_element_type=jnp.float32)
-              + self.b_hv).reshape(batch, k1, rank, dim_mm)
         hq = (jnp.dot(xq, wq, preferred_element_type=jnp.float32)
-              + self.b_hq).reshape(batch, 1, rank, dim_mm)
-        x_mm = jnp.sum(hv * hq, axis=2)
+              + self.b_hq).reshape(batch, rank, dim_mm)
+        if k1 >= rank:
+            # Fold the question side into a per-example effective weight:
+            #     z[b,k,m] = sum_r (x_v[b,k] @ w_hv)[r,m] * hq[b,r,m]
+            #              = x_v[b,k] @ Weff[b] + sum_r b_hv[r,m] * hq[b,r,m]
+            #     Weff[b,d,m] = sum_r w_hv[d,r,m] * hq[b,r,m]
+            # Same math, R-fold fewer GEMM FLOPs over the candidate axis and
+            # no (B, K, R, dim_mm) intermediate — at the MutanAtt attention
+            # stage (K=196 positions, R=5, B=128) the old form cost
+            # ~4.5 ms/step of HBM traffic materializing/relayouting that
+            # 256 MB tensor (xplane, 2026-08-17).
+            dim_hv = wv.shape[0]
+            w3 = wv.reshape(dim_hv, rank, dim_mm)
+            weff = jnp.einsum("drm,brm->bdm", w3, hq.astype(w3.dtype),
+                              preferred_element_type=jnp.float32)
+            xv3 = xv.reshape(batch, k1, dim_hv)
+            x_mm = jnp.einsum("bkd,bdm->bkm", xv3, weff.astype(xv3.dtype),
+                              preferred_element_type=jnp.float32)
+            bias = jnp.einsum("rm,brm->bm",
+                              self.b_hv.reshape(rank, dim_mm), hq)
+            x_mm = x_mm + bias[:, None, :]
+        else:
+            hv = (jnp.dot(xv, wv, preferred_element_type=jnp.float32)
+                  + self.b_hv).reshape(batch, k1, rank, dim_mm)
+            x_mm = jnp.sum(hv * hq[:, None], axis=2)
         if "activation_mm" in opt:
             x_mm = activation(opt["activation_mm"])(x_mm)
         return x_mm
