@@ -19,7 +19,8 @@ bf16-resident tables -> 104.3k with the policy-typed answer head ->
 v_proj cache (both xplane-trace-identified; scripts/profile_cx_trace.py)
 (B=768: 98.4k pre-trace-fixes, 60.8k after — the pre-tiled gather lowers
 pathologically at that shape while B=384 reproduces at 125.6k; B=384 stays
-the default).
+the default) -> 128.7k with device-resident pre-uploaded batches
+(reproduced 128.6/128.8k across three runs 2026-08-17).
 B=512 programs fail with transient 'UNAVAILABLE: TPU device error' on most
 attempts on the tunneled chip (2026-08-16: 1 success / 7 tries; a failed
 B=512 program wedges the chip for minutes), so the default stays at the
