@@ -1,0 +1,150 @@
+"""Parity of the fused Pallas GRU recurrence vs the lax.scan path.
+
+Runs through the Mosaic interpreter on the CPU test mesh; on-TPU timings
+live in scripts/bench_vqa.py.  The kernel is part of the bf16 compute
+policy (bf16 state carry), so comparisons are against the scan path under
+the same policy with bf16-appropriate tolerances.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vqa_counterexamples_tpu.ops import rnn
+from vqa_counterexamples_tpu.ops.pallas.gru_kernel import (
+    gru_fwd_pallas, gru_recurrence_pallas)
+
+
+def _mk(batch=4, seq=5, dim_in=12, dim_h=20, seed=0):
+    rng = np.random.default_rng(seed)
+    params = rnn.GRUParams(
+        w_ih=jnp.asarray(rng.normal(size=(dim_in, 3 * dim_h)) * 0.2,
+                         jnp.float32),
+        b_ih=jnp.asarray(rng.normal(size=(3 * dim_h,)) * 0.1, jnp.float32),
+        w_hh=jnp.asarray(rng.normal(size=(dim_h, 3 * dim_h)) * 0.2,
+                         jnp.float32),
+        b_hh=jnp.asarray(rng.normal(size=(3 * dim_h,)) * 0.1, jnp.float32),
+    )
+    x = jnp.asarray(rng.normal(size=(batch, seq, dim_in)), jnp.float32)
+    return params, x
+
+
+def _pad_args(params, x, dim_h, mask=None):
+    """Build the padded, gate-interleaved kernel arguments the integration
+    path would."""
+    from vqa_counterexamples_tpu.ops.pallas.gru_kernel import (
+        LANE, interleave_gates)
+
+    hp = ((dim_h + LANE - 1) // LANE) * LANE
+    pad = hp - dim_h
+    xt = jnp.swapaxes(x, 0, 1)
+    seq, batch, _ = xt.shape
+
+    def pad_gates(w):
+        w3 = jnp.pad(w.reshape(w.shape[:-1] + (3, dim_h)),
+                     [(0, 0)] * (w.ndim - 1) + [(0, 0), (0, pad)])
+        return interleave_gates(w3)
+
+    w_ih = pad_gates(params.w_ih)
+    b_ih = pad_gates(params.b_ih)
+    xp = (xt.reshape(seq * batch, -1).astype(jnp.bfloat16)
+          @ w_ih.astype(jnp.bfloat16)
+          + b_ih).reshape(seq, batch, 3 * hp)
+    xp = xp.astype(jnp.bfloat16)
+    w_hh = jnp.pad(pad_gates(params.w_hh),
+                   ((0, pad), (0, 0))).astype(jnp.bfloat16)
+    b_hh = pad_gates(params.b_hh)[None]
+    if mask is None:
+        mask = jnp.ones((batch, hp), jnp.bfloat16)
+    else:
+        mask = jnp.pad(mask, ((0, 0), (0, pad))).astype(jnp.bfloat16)
+    return xp, w_hh, b_hh, mask, hp
+
+
+def test_fwd_matches_scan():
+    params, x = _mk()
+    dim_h = params.w_hh.shape[0]
+    ref = rnn.gru_scan(params, x)  # f32 scan
+    xp, w_hh, b_hh, mask, hp = _pad_args(params, x, dim_h)
+    states, hprojs = gru_fwd_pallas(xp, w_hh, b_hh, mask, interpret=True)
+    got = jnp.swapaxes(states[:, :, :dim_h], 0, 1).astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=5e-2, rtol=5e-2)
+    # padded hidden columns stay exactly zero through the recurrence
+    assert hp > dim_h
+    np.testing.assert_array_equal(
+        np.asarray(states[:, :, dim_h:], np.float32), 0.0)
+
+
+def test_fwd_hproj_residuals_match():
+    params, x = _mk(seed=3)
+    dim_h = params.w_hh.shape[0]
+    xp, w_hh, b_hh, mask, hp = _pad_args(params, x, dim_h)
+    states, hprojs = gru_fwd_pallas(xp, w_hh, b_hh, mask, interpret=True)
+    # recompute h_proj[t] = (h[t-1] * mask) @ w + b from the state stack
+    # (both sides in the interleaved column space)
+    h_prev = jnp.concatenate(
+        [jnp.zeros((1,) + states.shape[1:], states.dtype), states[:-1]],
+        axis=0)
+    want = (jnp.einsum("tbh,hk->tbk",
+                       (h_prev * mask[None]).astype(jnp.float32),
+                       w_hh.astype(jnp.float32))
+            + b_hh[0][None, None])
+    np.testing.assert_allclose(np.asarray(hprojs, np.float32),
+                               np.asarray(want), atol=5e-2, rtol=5e-2)
+
+
+def test_grads_match_scan():
+    params, x = _mk(batch=3, seq=4, dim_in=8, dim_h=16, seed=1)
+    dim_h = params.w_hh.shape[0]
+
+    def loss_scan(params, x):
+        states = rnn.gru_scan(params, x)
+        return jnp.sum(jnp.tanh(states))
+
+    def loss_pallas(params, x):
+        xp, w_hh, b_hh, mask, hp = _pad_args(params, x, dim_h)
+        states = gru_recurrence_pallas(w_hh, b_hh, xp, mask, True)
+        return jnp.sum(jnp.tanh(states[:, :, :dim_h].astype(jnp.float32)))
+
+    g_ref = jax.grad(lambda p: loss_scan(p, x))(params)
+    g_got = jax.grad(lambda p: loss_pallas(p, x))(params)
+    for a, b, name in [(g_got.w_hh, g_ref.w_hh, "w_hh"),
+                       (g_got.b_hh, g_ref.b_hh, "b_hh"),
+                       (g_got.w_ih, g_ref.w_ih, "w_ih"),
+                       (g_got.b_ih, g_ref.b_ih, "b_ih")]:
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=8e-2, rtol=8e-2, err_msg=name)
+
+
+def test_gru_scan_dispatch_parity():
+    """VQACX_GRU_PALLAS=interpret routes gru_scan through the kernel and
+    matches the scan path (same bf16 policy) including dropout masks."""
+    params, x = _mk(batch=6, seq=5, dim_in=10, dim_h=24, seed=2)
+    os.environ["VQACX_COMPUTE_DTYPE"] = "bfloat16"
+    os.environ["VQACX_GRU_PALLAS"] = "interpret"
+    try:
+        got = rnn.gru_scan(params, x)
+        assert got.shape == (6, 5, 24)
+        os.environ["VQACX_GRU_PALLAS"] = "0"
+        ref = rnn.gru_scan(params, x)
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(ref, np.float32),
+                                   atol=5e-2, rtol=5e-2)
+        # dropout path: same rng -> same masks in both formulations
+        key = jax.random.key(7)
+        os.environ["VQACX_GRU_PALLAS"] = "interpret"
+        got_d = rnn.gru_scan(params, x, dropout=0.5, deterministic=False,
+                             rng=key)
+        os.environ["VQACX_GRU_PALLAS"] = "0"
+        ref_d = rnn.gru_scan(params, x, dropout=0.5, deterministic=False,
+                             rng=key)
+        np.testing.assert_allclose(np.asarray(got_d, np.float32),
+                                   np.asarray(ref_d, np.float32),
+                                   atol=8e-2, rtol=8e-2)
+    finally:
+        os.environ.pop("VQACX_COMPUTE_DTYPE", None)
+        os.environ.pop("VQACX_GRU_PALLAS", None)

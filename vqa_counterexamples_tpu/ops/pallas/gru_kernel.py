@@ -1,0 +1,277 @@
+"""Pallas TPU kernel for the fused GRU recurrence.
+
+The `lax.scan` formulation (ops/rnn.py) is near the MXU roofline for the
+recurrent GEMM itself, but every timestep also pays ~100us of HBM-bound
+elementwise work (gate math over (B, 3H) f32 tensors materialized between
+the GEMM and the carry update) plus dynamic-update-slice stacking of the
+states — at reference dims (H=2400, B=512) the scan pair runs ~2.2x over
+the GEMM roofline (xplane, 2026-08-17).  This kernel fuses one whole
+timestep per grid sweep:
+
+* the hidden state lives in a VMEM scratch buffer across the entire
+  sequence — it never round-trips HBM between timesteps;
+* gate elementwise math happens in registers right after the MXU tile,
+  overlapped with the next weight-block DMA;
+* `w_hh` is streamed from HBM once per timestep in (Hp, 3*C) column
+  blocks (34.6 MB bf16 per step at reference dims — hidden under the
+  compute at B>=256);
+* the per-timestep states and gate pre-activations (`h_proj`, the backward
+  residuals) are written straight to their (T, B, ·) stacks — no
+  scan-carry dynamic-update-slice traffic.
+
+Gate-column interleaving: the three gates' columns are grouped per
+128-lane tile — flat column ``(j*3 + gate)*128 + c`` holds hidden unit
+``j*128 + c`` of that gate — so every kernel operand is a plain 2-D block
+and the whole timestep-column-tile is ONE (B, Hp) x (Hp, 384) MXU matmul.
+(A (·, 3, C) trailing block shape would pad the 3 up to the bf16 sublane
+tile of 16: the weight block alone then costs 10 MB of VMEM instead of
+1.9 MB — the layout is the difference between fitting and OOM.)
+``interleave_gates``/``deinterleave_gates`` convert; the backward scan
+works directly in the interleaved space (gate math is columnwise).
+
+Grid: ``(T, J)`` with the column-tile axis innermost.  At ``j == 0`` the
+kernel snapshots ``h_in = h * mask`` (variational dropout applies the same
+mask every timestep), so the per-column ``h_new`` writes can update ``h``
+in place while the GEMMs keep reading the snapshot.
+
+All dims are zero-padded to lane multiples outside the kernel (pad columns
+of ``x_proj``/``w``/``b``/``mask`` are zero, so padded hidden units stay
+exactly zero through the recurrence — sigmoid(0)*0 terms — and the result
+is exact).  The state is carried in bf16 (the kernel is part of the bf16
+compute policy; gate math still accumulates f32 on the MXU).
+
+Used via ops.rnn.gru_scan under the bf16 policy (default on for
+single-device TPU runs; VQACX_GRU_PALLAS=0/1 overrides); parity vs the scan
+path is pinned in tests/test_pallas_gru.py.  Measured on the v5e chip at
+reference dims (H=2400, D=620, B=512, T=26, 2026-08-17): forward
+6.29 -> 4.69 ms (1.34x), fwd+bwd 18.73 -> 17.53 ms (the backward is still
+the XLA reverse scan in _bwd_scan); MutanNoAtt pretrain step
+22,782 -> 22,994 ex/s end-to-end.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# largest batch the fwd kernel's VMEM plan supports at Hp=2432 (three
+# (B, Hp) bf16 buffers + double-buffered weight/activation blocks ~13 MB)
+MAX_BATCH = 512
+LANE = 128
+
+
+def interleave_gates(w3: jax.Array, tile: int = LANE) -> jax.Array:
+    """(..., 3, Hp) -> (..., 3*Hp) with gate columns grouped per lane tile:
+    flat column (j*3 + g)*tile + c = gate g, hidden unit j*tile + c."""
+    *lead, three, hp = w3.shape
+    assert three == 3 and hp % tile == 0
+    j = hp // tile
+    return (w3.reshape(*lead, 3, j, tile)
+            .swapaxes(-3, -2).reshape(*lead, 3 * hp))
+
+
+def deinterleave_gates(w: jax.Array, tile: int = LANE) -> jax.Array:
+    """Inverse of :func:`interleave_gates`: (..., 3*Hp) -> (..., 3, Hp)."""
+    *lead, chp = w.shape
+    hp = chp // 3
+    j = hp // tile
+    return (w.reshape(*lead, j, 3, tile)
+            .swapaxes(-3, -2).reshape(*lead, 3, hp))
+
+
+def _fwd_kernel(xp_ref, w_ref, b_ref, mask_ref, states_ref, hproj_ref,
+                h_scr, hin_scr):
+    t = pl.program_id(0)
+    j = pl.program_id(1)
+    tile = states_ref.shape[-1]
+
+    @pl.when(jnp.logical_and(t == 0, j == 0))
+    def _():
+        h_scr[:] = jnp.zeros_like(h_scr)
+
+    # one snapshot of the (variationally) masked state per timestep; the
+    # per-column h updates below then safely write h_scr in place
+    @pl.when(j == 0)
+    def _():
+        hin_scr[:] = h_scr[:] * mask_ref[:]
+
+    # one MXU matmul covers all three gates' columns for this tile
+    hp_all = jnp.dot(hin_scr[:], w_ref[:],
+                     preferred_element_type=jnp.float32) + b_ref[0]
+    xp = xp_ref[0]  # (B, 3*tile) interleaved [r | z | n]
+    r = jax.nn.sigmoid(xp[:, :tile] + hp_all[:, :tile])
+    z = jax.nn.sigmoid(xp[:, tile:2 * tile] + hp_all[:, tile:2 * tile])
+    n = jnp.tanh(xp[:, 2 * tile:] + r * hp_all[:, 2 * tile:])
+    h_old = h_scr[:, pl.ds(j * tile, tile)].astype(jnp.float32)
+    h_new = ((1.0 - z) * n + z * h_old).astype(h_scr.dtype)
+
+    h_scr[:, pl.ds(j * tile, tile)] = h_new
+    states_ref[0] = h_new
+    hproj_ref[0] = hp_all.astype(hproj_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def gru_fwd_pallas(xp: jax.Array, w: jax.Array, b: jax.Array,
+                   mask: jax.Array, interpret: bool = False):
+    """Run the recurrence over padded, gate-interleaved inputs (h0 = 0).
+
+    Args:
+      xp: (T, B, 3*Hp) input projections (bf16), interleaved gate columns,
+        pad columns zero.
+      w: (Hp, 3*Hp) recurrent weights, interleaved columns, pad rows/cols
+        zero.
+      b: (1, 3*Hp) f32 bias, interleaved, pad columns zero.
+      mask: (B, Hp) variational dropout mask (ones when inactive).
+    Returns:
+      states (T, B, Hp) bf16, h_projs (T, B, 3*Hp) bf16 (interleaved).
+    """
+    seq_len, batch, chp = xp.shape
+    hp = chp // 3
+    assert hp % LANE == 0, "pad the hidden dim to a lane multiple"
+    tile = LANE
+    grid = (seq_len, hp // tile)
+
+    states, hprojs = pl.pallas_call(
+        _fwd_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, batch, 3 * tile), lambda t, j: (t, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hp, 3 * tile), lambda t, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * tile), lambda t, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((batch, hp), lambda t, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, batch, tile), lambda t, j: (t, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, batch, 3 * tile), lambda t, j: (t, 0, j),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((seq_len, batch, hp), jnp.bfloat16),
+            jax.ShapeDtypeStruct((seq_len, batch, 3 * hp), jnp.bfloat16),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((batch, hp), jnp.bfloat16),   # h
+            pltpu.VMEM((batch, hp), jnp.bfloat16),   # h * mask snapshot
+        ],
+        interpret=interpret,
+        # the plan needs ~18.5 MB at B=512 (three (B, Hp) bf16 state
+        # buffers + double-buffered operand blocks) — above the
+        # conservative 16 MB default scoped limit but far below the
+        # hardware VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * seq_len * batch * hp * 3 * hp,
+            bytes_accessed=(xp.size * xp.dtype.itemsize
+                            + seq_len * w.size * w.dtype.itemsize
+                            + seq_len * batch * hp * 2 * 4),
+            transcendentals=3 * seq_len * batch * hp),
+    )(xp, w, b, mask)
+    return states, hprojs
+
+
+def _bwd_scan(w, xp, mask, states, hprojs, dstates, unroll: int = 1):
+    """XLA reverse scan over the kernel's bf16 residuals.
+
+    Same gate algebra as ops.rnn._gru_core_bwd, working directly in the
+    interleaved column space (gate math is columnwise, so interleaving is
+    just a reshape to (B, J, 3, C)).  The per-step weight cotangent is NOT
+    accumulated in the carry — gate cotangents are stacked as scan outputs
+    and ``dw`` is one (Hp, T*B) x (T*B, 3Hp) GEMM afterwards.
+    """
+    seq_len, batch, chp = xp.shape
+    hp = chp // 3
+    j, c = hp // LANE, LANE
+    h_prev = jnp.concatenate(
+        [jnp.zeros((1, batch, hp), states.dtype), states[:-1]], axis=0)
+    w_t = jnp.swapaxes(w, 0, 1)  # (3Hp, Hp) bf16, interleaved rows
+
+    def gates4(x):  # (B, 3Hp) interleaved -> (B, J, 3, C)
+        return x.reshape(batch, j, 3, c)
+
+    def step(carry, inp):
+        dh, dmask = carry
+        ds_t, xp_t, hp_t, hprev_t = inp
+        g = (ds_t + dh).reshape(batch, j, c)
+        xp4 = gates4(xp_t).astype(jnp.float32)
+        hp4 = gates4(hp_t).astype(jnp.float32)
+        hprev4 = hprev_t.astype(jnp.float32).reshape(batch, j, c)
+        r = jax.nn.sigmoid(xp4[:, :, 0] + hp4[:, :, 0])
+        z = jax.nn.sigmoid(xp4[:, :, 1] + hp4[:, :, 1])
+        n = jnp.tanh(xp4[:, :, 2] + r * hp4[:, :, 2])
+        hn = hp4[:, :, 2]
+        dn = g * (1.0 - z)
+        dsz = g * (hprev4 - n) * z * (1.0 - z)
+        dsn = dn * (1.0 - n * n)
+        dhn = dsn * r
+        dsr = dsn * hn * r * (1.0 - r)
+        dh_proj = jnp.stack([dsr, dsz, dhn], axis=2).reshape(batch, 3 * hp)
+        dx_proj = jnp.stack([dsr, dsz, dsn], axis=2).reshape(batch, 3 * hp)
+        back = jnp.dot(dh_proj.astype(w_t.dtype), w_t,
+                       preferred_element_type=jnp.float32)
+        g_flat = g.reshape(batch, hp)
+        z_flat = z.reshape(batch, hp)
+        hprev_flat = hprev4.reshape(batch, hp)
+        dh_new = g_flat * z_flat + back * mask
+        dmask = dmask + back * hprev_flat
+        return (dh_new, dmask), (dx_proj, dh_proj)
+
+    (dh0, dmask), (dx_proj, dh_projs) = jax.lax.scan(
+        step,
+        (jnp.zeros((batch, hp), jnp.float32),
+         jnp.zeros((batch, hp), jnp.float32)),
+        (dstates, xp, hprojs, h_prev), reverse=True, unroll=unroll)
+
+    h_in = (h_prev.astype(jnp.float32)
+            * mask[None]).reshape(seq_len * batch, hp)
+    dw = jnp.dot(h_in.astype(w.dtype).T,
+                 dh_projs.reshape(seq_len * batch, 3 * hp).astype(w.dtype),
+                 preferred_element_type=jnp.float32)
+    db = jnp.sum(dh_projs, axis=(0, 1))[None]
+    return dw, db, dx_proj.astype(xp.dtype), dmask
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def gru_recurrence_pallas(w: jax.Array, b: jax.Array, xp: jax.Array,
+                          mask: jax.Array, interpret: bool = False):
+    """Differentiable fused recurrence on the padded interleaved domain
+    (h0 = 0).
+
+    Returns the (T, B, Hp) bf16 state stack.  ``w`` (Hp, 3Hp) and ``xp``
+    (T, B, 3Hp) are gate-interleaved (see :func:`interleave_gates`) in the
+    compute dtype; ``b`` is (1, 3Hp) f32; ``mask`` (B, Hp) is the shared
+    variational dropout mask.
+    """
+    states, _ = gru_fwd_pallas(xp, w, b, mask, interpret=interpret)
+    return states
+
+
+def _gru_fwd(w, b, xp, mask, interpret):
+    states, hprojs = gru_fwd_pallas(xp, w, b, mask, interpret=interpret)
+    return states, (w, xp, mask, states, hprojs)
+
+
+def _gru_bwd(interpret, res, dstates):
+    w, xp, mask, states, hprojs = res
+    dw, db, dxp, dmask = _bwd_scan(w, xp, mask.astype(jnp.float32),
+                                   states, hprojs,
+                                   dstates.astype(jnp.float32))
+    return (dw.astype(w.dtype), db.astype(jnp.float32), dxp,
+            dmask.astype(mask.dtype))
+
+
+gru_recurrence_pallas.defvjp(_gru_fwd, _gru_bwd)

@@ -93,6 +93,82 @@ def _default_unroll() -> int:
     return int(os.environ.get("VQACX_RNN_UNROLL", "1"))
 
 
+def _pallas_gru_mode() -> str:
+    """VQACX_GRU_PALLAS: 'auto' (default) = use the fused Pallas recurrence
+    on a single-device TPU when eligible (bf16 policy), '1' = use it whenever
+    eligible regardless of device count, 'interpret' = force it through the
+    Mosaic interpreter (CPU tests), '0' = always lax.scan.
+
+    'auto' stays off under a multi-device mesh: the train steps shard via
+    GSPMD (NamedSharding inputs), and a pallas_call has no partitioning
+    rule there — the scan path lowers cleanly instead.
+    """
+    import os
+
+    return os.environ.get("VQACX_GRU_PALLAS", "auto")
+
+
+def _pallas_gru_eligible(batch: int, h0, mode: str) -> bool:
+    """The fused kernel covers the training shapes: bf16 compute policy,
+    zero initial state, batch within the kernel's VMEM plan, on TPU."""
+    from ..core.policy import compute_dtype
+    from .pallas.gru_kernel import MAX_BATCH
+
+    if mode == "0":
+        return False
+    if compute_dtype() != jnp.bfloat16 or batch > MAX_BATCH:
+        return False
+    if h0 is not None:  # callers that seed a nonzero state fall back
+        return False
+    if mode == "interpret":
+        return True
+    if jax.devices()[0].platform != "tpu":
+        return False
+    return mode == "1" or len(jax.devices()) == 1
+
+
+def _gru_pallas_path(params: "GRUParams", xt: jax.Array,
+                     mask_h: jax.Array | None, interpret: bool) -> jax.Array:
+    """Padded input GEMM + fused recurrence; returns (T, B, H) bf16 states.
+
+    ``xt`` is time-major (T, B, D), already input-masked.  Padding to the
+    lane multiple happens on the *weights* so the input projection lands
+    directly in the kernel's (T, B, 3, Hp) layout with zero pad columns —
+    no post-GEMM pad copy of the 191 MB projection stack.
+    """
+    from ..core.policy import cast_in
+    from .pallas.gru_kernel import (LANE, gru_recurrence_pallas,
+                                    interleave_gates)
+
+    seq_len, batch, _ = xt.shape
+    dim_h = params.w_hh.shape[0]
+    hp = ((dim_h + LANE - 1) // LANE) * LANE
+    pad_h = hp - dim_h
+
+    def pad_gates(w):  # (..., 3H) -> (..., 3Hp) interleaved
+        w3 = jnp.pad(w.reshape(w.shape[:-1] + (3, dim_h)),
+                     [(0, 0)] * (w.ndim - 1) + [(0, 0), (0, pad_h)])
+        return interleave_gates(w3)
+
+    w_ih = pad_gates(params.w_ih)
+    b_ih = pad_gates(params.b_ih)
+    w_hh = jnp.pad(pad_gates(params.w_hh), ((0, pad_h), (0, 0)))
+    b_hh = pad_gates(params.b_hh)[None]  # (1, 3Hp) f32
+
+    xc, wp = cast_in(xt.reshape(seq_len * batch, -1), w_ih)
+    x_proj = (jnp.dot(xc, wp, preferred_element_type=jnp.float32) + b_ih)
+    x_proj = x_proj.reshape(seq_len, batch, 3 * hp).astype(jnp.bfloat16)
+
+    if mask_h is None:
+        mask = jnp.ones((batch, hp), jnp.bfloat16)
+    else:
+        mask = jnp.pad(mask_h, ((0, 0), (0, pad_h))).astype(jnp.bfloat16)
+
+    states = gru_recurrence_pallas(w_hh.astype(jnp.bfloat16), b_hh,
+                                   x_proj, mask, interpret)
+    return states[:, :, :dim_h]
+
+
 def _split_bwd_enabled() -> bool:
     """Opt into the hand-written split backward for the recurrences.
 
@@ -211,6 +287,7 @@ def gru_scan(params: GRUParams, x: jax.Array, *, dropout: float = 0.0,
     """
     batch, seq_len, _ = x.shape
     dim_h = params.w_hh.shape[0]
+    h0_is_zero = h0 is None
     if h0 is None:
         h0 = jnp.zeros((batch, dim_h), x.dtype)
 
@@ -225,6 +302,12 @@ def gru_scan(params: GRUParams, x: jax.Array, *, dropout: float = 0.0,
         mask_h = jax.random.bernoulli(kh, 1.0 - dropout, (batch, dim_h))
         mask_h = mask_h.astype(x.dtype) / (1.0 - dropout)
         x = x * mask_x[:, None, :]
+
+    mode = _pallas_gru_mode()
+    if _pallas_gru_eligible(batch, None if h0_is_zero else h0, mode):
+        states = _gru_pallas_path(params, jnp.swapaxes(x, 0, 1), mask_h,
+                                  mode == "interpret")
+        return states if time_major_out else jnp.swapaxes(states, 0, 1)
 
     from ..core.policy import cast_in, compute_dtype
 
