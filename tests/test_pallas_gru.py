@@ -120,6 +120,34 @@ def test_grads_match_scan():
                                    atol=8e-2, rtol=8e-2, err_msg=name)
 
 
+def test_bwd_kernel_matches_bwd_scan():
+    """The fused Pallas backward and the XLA reverse-scan backward agree
+    on every cotangent, including through a dropout mask."""
+    params, x = _mk(batch=3, seq=4, dim_in=8, dim_h=16, seed=4)
+    dim_h = params.w_hh.shape[0]
+    mask = (np.random.default_rng(9).random((3, dim_h)) > 0.3).astype(
+        np.float32) / 0.7
+
+    def loss(params, mode):
+        os.environ["VQACX_GRU_BWD"] = mode
+        try:
+            xp, w_hh, b_hh, m, hp = _pad_args(params, x, dim_h,
+                                              mask=jnp.asarray(mask))
+            states = gru_recurrence_pallas(w_hh, b_hh, xp, m, True)
+            return jnp.sum(jnp.cos(states[:, :, :dim_h]
+                                   .astype(jnp.float32)))
+        finally:
+            os.environ.pop("VQACX_GRU_BWD", None)
+
+    g_pallas = jax.grad(lambda p: loss(p, "pallas"))(params)
+    g_scan = jax.grad(lambda p: loss(p, "scan"))(params)
+    for name in ["w_hh", "b_hh", "w_ih", "b_ih"]:
+        np.testing.assert_allclose(
+            np.asarray(getattr(g_pallas, name)),
+            np.asarray(getattr(g_scan, name)),
+            atol=3e-2, rtol=3e-2, err_msg=name)
+
+
 def test_gru_scan_dispatch_parity():
     """VQACX_GRU_PALLAS=interpret routes gru_scan through the kernel and
     matches the scan path (same bf16 policy) including dropout masks."""

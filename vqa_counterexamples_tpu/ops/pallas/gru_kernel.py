@@ -40,13 +40,22 @@ exactly zero through the recurrence — sigmoid(0)*0 terms — and the result
 is exact).  The state is carried in bf16 (the kernel is part of the bf16
 compute policy; gate math still accumulates f32 on the MXU).
 
+The backward is fused the same way (``_bwd_kernel``): the reverse sweep
+keeps the running state cotangent ``dh`` in a VMEM scratch across
+timesteps, recomputes the cheap gate activations from the saved bf16
+residuals (xp, h_proj) instead of storing them, does the cross-column
+``dh_proj @ w^T`` back-propagation as a transposed-RHS MXU contraction on
+the same streamed weight blocks, and emits the gate cotangent stacks the
+outer (Hp, T*B) x (T*B, 3Hp) weight-cotangent GEMM consumes.
+
 Used via ops.rnn.gru_scan under the bf16 policy (default on for
-single-device TPU runs; VQACX_GRU_PALLAS=0/1 overrides); parity vs the scan
-path is pinned in tests/test_pallas_gru.py.  Measured on the v5e chip at
-reference dims (H=2400, D=620, B=512, T=26, 2026-08-17): forward
-6.29 -> 4.69 ms (1.34x), fwd+bwd 18.73 -> 17.53 ms (the backward is still
-the XLA reverse scan in _bwd_scan); MutanNoAtt pretrain step
-22,782 -> 22,994 ex/s end-to-end.
+single-device TPU runs at batch >= MIN_BATCH; VQACX_GRU_PALLAS=0/1 and
+VQACX_GRU_BWD=scan override); parity vs the scan path is pinned in
+tests/test_pallas_gru.py.  Measured on the v5e chip at reference dims
+(H=2400, D=620, B=512, T=26, 2026-08-17): forward 6.29 -> 4.69 ms (1.34x);
+MutanNoAtt pretrain step end-to-end 22,998 -> 29,807 ex/s (+30%) with the
+fused backward vs the XLA reverse scan (_bwd_scan); MutanAtt B=256
+12,103 -> 13,156 ex/s.
 """
 
 from __future__ import annotations
@@ -66,6 +75,9 @@ def _round_up(x: int, m: int) -> int:
 # largest batch the fwd kernel's VMEM plan supports at Hp=2432 (three
 # (B, Hp) bf16 buffers + double-buffered weight/activation blocks ~13 MB)
 MAX_BATCH = 512
+# below this the kernel is weight-DMA-bound end-to-end (see
+# ops.rnn._pallas_gru_eligible for the measurements)
+MIN_BATCH = 256
 LANE = 128
 
 
@@ -184,6 +196,144 @@ def gru_fwd_pallas(xp: jax.Array, w: jax.Array, b: jax.Array,
     return states, hprojs
 
 
+def _bwd_kernel(ds_ref, xp_ref, hproj_ref, hprev_full_ref, w_ref, mask_ref,
+                dxp_ref, dhproj_ref, dmask_ref, dh_scr, back_scr, dmask_scr):
+    """One reverse timestep-column-tile of the GRU backward.
+
+    Grid is (T, J) with time reversed by the index maps.  ``dh_scr`` carries
+    the running state cotangent across timesteps: tile j reads its own
+    columns (last written a timestep later) before overwriting them with the
+    new ``g * z`` term, and the cross-column ``back`` contribution is
+    accumulated per tile into ``back_scr`` and folded in once at j == J-1.
+    """
+    t = pl.program_id(0)
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+    tile = ds_ref.shape[-1]
+
+    @pl.when(jnp.logical_and(t == 0, j == 0))
+    def _():
+        dh_scr[:] = jnp.zeros_like(dh_scr)
+        dmask_scr[:] = jnp.zeros_like(dmask_scr)
+
+    @pl.when(j == 0)
+    def _():
+        back_scr[:] = jnp.zeros_like(back_scr)
+
+    g = (ds_ref[0].astype(jnp.float32)
+         + dh_scr[:, pl.ds(j * tile, tile)])
+    xp = xp_ref[0].astype(jnp.float32)   # (B, 3*tile) [r | z | n]
+    hp = hproj_ref[0].astype(jnp.float32)
+    hprev = hprev_full_ref[0, :, pl.ds(j * tile, tile)].astype(jnp.float32)
+    r = jax.nn.sigmoid(xp[:, :tile] + hp[:, :tile])
+    z = jax.nn.sigmoid(xp[:, tile:2 * tile] + hp[:, tile:2 * tile])
+    hn = hp[:, 2 * tile:]
+    n = jnp.tanh(xp[:, 2 * tile:] + r * hn)
+
+    dn = g * (1.0 - z)
+    dsz = g * (hprev - n) * z * (1.0 - z)
+    dsn = dn * (1.0 - n * n)
+    dhn = dsn * r
+    dsr = dsn * hn * r * (1.0 - r)
+
+    dh_proj = jnp.concatenate([dsr, dsz, dhn], axis=1).astype(jnp.bfloat16)
+    dxp_ref[0] = jnp.concatenate([dsr, dsz, dsn], axis=1).astype(dxp_ref.dtype)
+    dhproj_ref[0] = dh_proj.astype(dhproj_ref.dtype)
+
+    # back += dh_proj @ w_block^T as a transposed-RHS MXU contraction —
+    # no (3Hp, Hp) transposed weight copy in HBM
+    back_scr[:] += jax.lax.dot_general(
+        dh_proj, w_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dh_scr[:, pl.ds(j * tile, tile)] = g * z
+
+    @pl.when(j == nj - 1)
+    def _():
+        back = back_scr[:]
+        mask = mask_ref[:].astype(jnp.float32)
+        hprev_full = hprev_full_ref[0].astype(jnp.float32)
+        dh_scr[:] = dh_scr[:] + back * mask
+        dmask_scr[:] = dmask_scr[:] + back * hprev_full
+
+    @pl.when(jnp.logical_and(t == pl.num_programs(0) - 1, j == nj - 1))
+    def _():
+        dmask_ref[:] = dmask_scr[:]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def gru_bwd_pallas(w: jax.Array, xp: jax.Array, mask: jax.Array,
+                   states: jax.Array, hprojs: jax.Array,
+                   dstates: jax.Array, interpret: bool = False):
+    """Fused reverse sweep over the forward kernel's residuals (h0 = 0).
+
+    Args mirror :func:`gru_fwd_pallas` (padded, gate-interleaved) plus the
+    forward outputs and the state cotangent stack.  Returns
+    ``(dxp (T,B,3Hp) bf16, dhprojs (T,B,3Hp) bf16, dmask (B,Hp) f32)`` —
+    the weight/bias cotangents are cheaper as one big GEMM/sum outside.
+    """
+    seq_len, batch, chp = xp.shape
+    hp = chp // 3
+    tile = LANE
+    grid = (seq_len, hp // tile)
+    h_prev = jnp.concatenate(
+        [jnp.zeros((1, batch, hp), states.dtype), states[:-1]], axis=0)
+
+    rev_t3 = lambda t, j: (seq_len - 1 - t, 0, j)
+    dxp, dhprojs, dmask = pl.pallas_call(
+        _bwd_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, batch, tile), rev_t3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, batch, 3 * tile), rev_t3,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, batch, 3 * tile), rev_t3,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, batch, hp), lambda t, j: (seq_len - 1 - t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hp, 3 * tile), lambda t, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((batch, hp), lambda t, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, batch, 3 * tile), rev_t3,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, batch, 3 * tile), rev_t3,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((batch, hp), lambda t, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((seq_len, batch, 3 * hp), jnp.bfloat16),
+            jax.ShapeDtypeStruct((seq_len, batch, 3 * hp), jnp.bfloat16),
+            jax.ShapeDtypeStruct((batch, hp), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((batch, hp), jnp.float32),   # dh carry
+            pltpu.VMEM((batch, hp), jnp.float32),   # back accumulator
+            pltpu.VMEM((batch, hp), jnp.float32),   # dmask accumulator
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * seq_len * batch * hp * 3 * hp,
+            bytes_accessed=(3 * xp.size * xp.dtype.itemsize
+                            + seq_len * w.size * w.dtype.itemsize
+                            + 2 * xp.size * xp.dtype.itemsize),
+            transcendentals=3 * seq_len * batch * hp),
+    )(dstates, xp, hprojs, h_prev, w, mask)
+
+    # weight/bias cotangents: one (Hp, T·B) x (T·B, 3Hp) GEMM + a reduction
+    h_in = (h_prev.astype(jnp.float32)
+            * mask[None].astype(jnp.float32)).reshape(seq_len * batch, hp)
+    dw = jnp.dot(h_in.astype(w.dtype).T,
+                 dhprojs.reshape(seq_len * batch, 3 * hp),
+                 preferred_element_type=jnp.float32)
+    db = jnp.sum(dhprojs.astype(jnp.float32), axis=(0, 1))[None]
+    return dw, db, dxp, dmask
+
+
 def _bwd_scan(w, xp, mask, states, hprojs, dstates, unroll: int = 1):
     """XLA reverse scan over the kernel's bf16 residuals.
 
@@ -265,11 +415,23 @@ def _gru_fwd(w, b, xp, mask, interpret):
     return states, (w, xp, mask, states, hprojs)
 
 
+def _bwd_uses_pallas() -> bool:
+    """VQACX_GRU_BWD: 'pallas' (default) fuses the reverse sweep in the
+    kernel above; 'scan' keeps the XLA reverse scan (measured fallback)."""
+    import os
+
+    return os.environ.get("VQACX_GRU_BWD", "pallas") != "scan"
+
+
 def _gru_bwd(interpret, res, dstates):
     w, xp, mask, states, hprojs = res
-    dw, db, dxp, dmask = _bwd_scan(w, xp, mask.astype(jnp.float32),
-                                   states, hprojs,
-                                   dstates.astype(jnp.float32))
+    if _bwd_uses_pallas():
+        dw, db, dxp, dmask = gru_bwd_pallas(w, xp, mask, states, hprojs,
+                                            dstates, interpret=interpret)
+    else:
+        dw, db, dxp, dmask = _bwd_scan(w, xp, mask.astype(jnp.float32),
+                                       states, hprojs,
+                                       dstates.astype(jnp.float32))
     return (dw.astype(w.dtype), db.astype(jnp.float32), dxp,
             dmask.astype(mask.dtype))
 

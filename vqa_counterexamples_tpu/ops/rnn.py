@@ -110,13 +110,22 @@ def _pallas_gru_mode() -> str:
 
 def _pallas_gru_eligible(batch: int, h0, mode: str) -> bool:
     """The fused kernel covers the training shapes: bf16 compute policy,
-    zero initial state, batch within the kernel's VMEM plan, on TPU."""
+    zero initial state, batch within the kernel's VMEM plan, on TPU.
+
+    Below MIN_BATCH the kernel is weight-DMA-bound (34.6 MB of w_hh
+    streamed per timestep over too few compute rows) and loses end-to-end
+    despite winning the micro-benchmark: MutanAtt B=128 measured 9.7k ex/s
+    with the kernel vs 10.6k with the scan, while B=256 wins 13.2k vs 12.1k
+    (v5e, 2026-08-17) — so 'auto'/'1' only engage at batch >= 256.
+    """
     from ..core.policy import compute_dtype
-    from .pallas.gru_kernel import MAX_BATCH
+    from .pallas.gru_kernel import MAX_BATCH, MIN_BATCH
 
     if mode == "0":
         return False
     if compute_dtype() != jnp.bfloat16 or batch > MAX_BATCH:
+        return False
+    if batch < MIN_BATCH and mode != "interpret":
         return False
     if h0 is not None:  # callers that seed a nonzero state fall back
         return False
