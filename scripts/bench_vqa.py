@@ -66,9 +66,14 @@ def main():
     # att models consume the (B, 14, 14, 2048) spatial feature map
     visual_shape = ((args.batch, 14, 14, 2048) if is_att
                     else (args.batch, 2048))
+    # under the bf16 policy the visual features ride HBM in bf16 (they come
+    # out of a bf16 ResNet trunk; extract --feat-dtype bfloat16 stores them
+    # that way) — halves the feature-read bandwidth of the dropout fusion
+    # and the attention weighted sum, which re-reads the raw (B,196,2048) map
+    from vqa_counterexamples_tpu.core.policy import compute_dtype
     batch = {
         "visual": jnp.asarray(rng.standard_normal(
-            visual_shape, dtype=np.float32)),
+            visual_shape, dtype=np.float32), dtype=compute_dtype()),
         "question": jnp.asarray(rng.integers(
             1, len(vocab_words), (args.batch, 26), dtype=np.int64)
             .astype(np.int32)),

@@ -67,3 +67,54 @@ def test_large_parallel_gather_matches(store_file):
     out = store.gather(idx)
     np.testing.assert_array_equal(out, arr[idx])
     store.close()
+
+
+@pytest.fixture(scope="module")
+def bf16_store_file(tmp_path_factory):
+    import ml_dtypes
+
+    path = tmp_path_factory.mktemp("native_bf16") / "feats.npy"
+    rng = np.random.default_rng(3)
+    arr = rng.normal(size=(200, 48)).astype(np.float32).astype(
+        ml_dtypes.bfloat16)
+    np.save(path, arr.view(np.uint16))  # the extract --feat-dtype contract
+    return str(path), arr
+
+
+def test_bf16_gather_matches(bf16_store_file):
+    import ml_dtypes
+
+    path, arr = bf16_store_file
+    store = native_store.NativeFeatureStore.open_npy(path)
+    assert store.dtype == np.dtype(ml_dtypes.bfloat16)
+    idx = np.asarray([0, 199, 7, 7, 42], dtype=np.int64)
+    out = store.gather(idx)
+    assert out.dtype == np.dtype(ml_dtypes.bfloat16)
+    np.testing.assert_array_equal(out.view(np.uint16),
+                                  arr[idx].view(np.uint16))
+    store.close()
+
+
+def test_bf16_prefetch_and_feature_store(bf16_store_file, tmp_path):
+    """FeatureStore.load re-views the uint16 npy as bf16 and streams rows."""
+    import ml_dtypes
+
+    from vqa_counterexamples_tpu.data.features import FeatureStore
+
+    path, arr = bf16_store_file
+    prefix = path[:-len(".npy")]
+    with open(prefix + ".txt", "w") as f:
+        for i in range(arr.shape[0]):
+            f.write("img%d\n" % i)
+    fs = FeatureStore.load(prefix, dataset="noatt", lazy=True)
+    assert fs.dtype == np.dtype(ml_dtypes.bfloat16)
+    idx = np.asarray([5, 5, 0, 123], dtype=np.int64)
+    rows = fs.gather_rows(idx)
+    np.testing.assert_array_equal(rows.view(np.uint16),
+                                  arr[idx].view(np.uint16))
+    buf = np.empty((4, 48), dtype=ml_dtypes.bfloat16)
+    ticket = fs.prefetch_rows(idx, buf)
+    if ticket is not None:
+        fs.wait_rows(ticket)
+        np.testing.assert_array_equal(buf.view(np.uint16),
+                                      arr[idx].view(np.uint16))

@@ -3,7 +3,8 @@
 Runs a pretrained ResNet-152 over a directory of JPEGs (448x448, ImageNet
 normalization) and writes, per split:
 
-* ``{split}set.att.npy`` (C-order float32, written incrementally through a
+* ``{split}set.att.npy`` (C-order float32, or bfloat16 bit-views with
+  ``--feat-dtype bfloat16``, written incrementally through a
   memmap) — the att maps (N, 14, 14, 2048) NHWC; this is the layout the
   native C++ mmap store (data/native_store.py) gathers from, so att-mode
   training streams rows without materializing the ~130 GB matrix
@@ -46,6 +47,15 @@ def build_parser():
                         choices=["npy", "hdf5", "both"],
                         help="att-map container: npy engages the native mmap "
                              "gather path; hdf5 matches the reference format")
+    parser.add_argument("--feat-dtype", default="float32", dest="feat_dtype",
+                        choices=["float32", "bfloat16"],
+                        help="element dtype of the .npy outputs: bfloat16 "
+                             "halves disk + host->device bandwidth and keeps "
+                             "training features bf16-resident end-to-end "
+                             "(the trunk computes in bf16 anyway; .hdf5 "
+                             "stays f4 for reference-format parity).  bf16 "
+                             "files are written as a uint16 bit-view so "
+                             "stock numpy can open them")
     parser.add_argument("--size", default=448, type=int)
     parser.add_argument("-b", "--batch_size", default=80, type=int)
     parser.add_argument("--workers", default=8, type=int)
@@ -158,6 +168,12 @@ def main(argv=None):
 
     spatial = args.size // 32
     want_att = args.mode in ("att", "both")
+    if args.feat_dtype == "bfloat16":
+        import ml_dtypes
+        feat_dtype = np.dtype(ml_dtypes.bfloat16)
+        disk_dtype = np.dtype(np.uint16)  # bit-view; readers re-view as bf16
+    else:
+        feat_dtype = disk_dtype = np.dtype(np.float32)
     att_npy_tmp = prefix + ".att.tmp.npy"
     with h5py.File(prefix + ".hdf5", "w") as h5, \
             ThreadPoolExecutor(max_workers=args.workers) as pool:
@@ -167,7 +183,7 @@ def main(argv=None):
                 "att", (n, spatial, spatial, 2048), dtype="f4")
         if want_att and args.att_store in ("npy", "both"):
             mm_att = np.lib.format.open_memmap(
-                att_npy_tmp, mode="w+", dtype=np.float32,
+                att_npy_tmp, mode="w+", dtype=disk_dtype,
                 shape=(n, spatial, spatial, 2048))
         ds_noatt = h5.create_dataset("noatt", (n, 2048), dtype="f4")
 
@@ -186,12 +202,15 @@ def main(argv=None):
                 future = pool.submit(decode_batch, nxt)
             att, noatt = run_forward(batch)
             end = start + batch.shape[0]
-            if ds_att is not None or mm_att is not None:
-                att_host = np.asarray(att, dtype=np.float32)
-                if ds_att is not None:
-                    ds_att[start:end] = att_host
-                if mm_att is not None:
-                    mm_att[start:end] = att_host
+            if ds_att is not None:
+                ds_att[start:end] = np.asarray(att, dtype=np.float32)
+            if mm_att is not None:
+                # bf16 trunk output lands on the host without upcasting —
+                # half the device->host traffic and disk bytes
+                att_host = np.asarray(att, dtype=feat_dtype)
+                mm_att[start:end] = (att_host.view(disk_dtype)
+                                     if feat_dtype != disk_dtype
+                                     else att_host)
             ds_noatt[start:end] = np.asarray(noatt, dtype=np.float32)
             done = end
             if (start // args.batch_size) % 10 == 0:
@@ -203,7 +222,10 @@ def main(argv=None):
             del mm_att
     if want_att and args.att_store in ("npy", "both"):
         os.replace(att_npy_tmp, prefix + ".att.npy")
-    np.save(prefix + ".npy", noatt_all)
+    if feat_dtype != disk_dtype:
+        np.save(prefix + ".npy", noatt_all.astype(feat_dtype).view(disk_dtype))
+    else:
+        np.save(prefix + ".npy", noatt_all)
     with open(prefix + ".txt", "w") as f:
         for name in names:
             f.write(name + "\n")

@@ -70,7 +70,13 @@ class FeatureStore:
         npy = path_prefix + (".npy" if dataset == "noatt"
                              else ".%s.npy" % dataset)
         if os.path.exists(npy):
-            feats = np.load(npy, mmap_mode="r")
+            from .native_store import npy_header_bytes
+            header, shape, dtype = npy_header_bytes(npy)
+            # bf16 matrices are written as a uint16 bit-view (see
+            # cli/extract.py --feat-dtype); re-view through a memmap so rows
+            # come out bf16 without touching the bytes
+            feats = np.memmap(npy, dtype=dtype, mode="r", offset=header,
+                              shape=shape)
             if not lazy:
                 feats = np.asarray(feats)
             return cls(feats, names, npy_path=npy)
@@ -86,7 +92,10 @@ class FeatureStore:
         # atomic replace: live mmaps of a previous file keep their inode
         # (overwriting in place would SIGBUS readers of the old mapping)
         tmp = path_prefix + ".tmp.npy"
-        np.save(tmp, np.asarray(self.features))
+        arr = np.asarray(self.features)
+        if arr.dtype.itemsize == 2:  # bf16 rides disk as a uint16 bit-view
+            arr = arr.view(np.uint16)
+        np.save(tmp, arr)
         os.replace(tmp, path_prefix + ".npy")
         with open(path_prefix + ".txt", "w") as f:
             for name in self.names:
@@ -133,10 +142,20 @@ class FeatureStore:
             return flat.reshape(rows.shape[0], *native.row_shape)
         return self.features[rows]
 
+    @property
+    def dtype(self) -> np.dtype:
+        """Element dtype rows come out as (f32, or bf16 when the backing
+        file was written with ``extract --feat-dtype bfloat16``)."""
+        native = self._native_store()
+        if native is not None:
+            return native.dtype
+        return np.dtype(self.features.dtype)
+
     def prefetch_rows(self, rows: np.ndarray, out: np.ndarray):
-        """Start an async native gather into ``out`` (flat (n, cols) f32);
-        returns a ticket for ``wait_rows`` — or None when no native store
-        backs this matrix (caller falls back to its own overlap strategy)."""
+        """Start an async native gather into ``out`` (flat (n, cols), dtype
+        ``self.dtype``); returns a ticket for ``wait_rows`` — or None when no
+        native store backs this matrix (caller falls back to its own overlap
+        strategy)."""
         native = self._native_store()
         if native is None:
             return None

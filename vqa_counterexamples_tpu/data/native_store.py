@@ -29,29 +29,48 @@ def _native_dir() -> str:
         os.path.abspath(__file__))), "native")
 
 
+_ABI_VERSION = 2  # keep in sync with fs_abi_version() in feature_store.cpp
+
+
 def load_library(build: bool = True):
-    """Load (building if needed) libfeature_store.so; None if unavailable."""
+    """Load (building if needed) libfeature_store.so; None if unavailable.
+
+    ``make`` runs every first load — its dependency rule rebuilds the .so
+    whenever feature_store.cpp is newer, so an ABI bump in the source can
+    never be served by a stale binary.  A loaded library that still reports
+    the wrong ``fs_abi_version`` falls back to numpy."""
     global _LIB, _LIB_FAILED
     if _LIB is not None or _LIB_FAILED:
         return _LIB
     so_path = os.path.join(_native_dir(), "libfeature_store.so")
-    if not os.path.exists(so_path) and build:
+    if build:
         try:
             subprocess.run(["make", "-C", _native_dir()], check=True,
                            capture_output=True)
         except Exception as exc:  # noqa: BLE001
-            print("native build failed (%s); using numpy fallback" % exc)
-            _LIB_FAILED = True
-            return None
+            if not os.path.exists(so_path):
+                print("native build failed (%s); using numpy fallback" % exc)
+                _LIB_FAILED = True
+                return None
     try:
         lib = ctypes.CDLL(so_path)
     except OSError as exc:
         print("native load failed (%s); using numpy fallback" % exc)
         _LIB_FAILED = True
         return None
+    try:
+        lib.fs_abi_version.restype = ctypes.c_int32
+        abi = lib.fs_abi_version()
+    except AttributeError:
+        abi = 1
+    if abi != _ABI_VERSION:
+        print("native store ABI %s != %s; using numpy fallback"
+              % (abi, _ABI_VERSION))
+        _LIB_FAILED = True
+        return None
     lib.fs_open.restype = ctypes.c_int64
     lib.fs_open.argtypes = [ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
-                            ctypes.c_int64, ctypes.c_int32]
+                            ctypes.c_int64, ctypes.c_int32, ctypes.c_int32]
     lib.fs_rows.restype = ctypes.c_int64
     lib.fs_rows.argtypes = [ctypes.c_int64]
     lib.fs_cols.restype = ctypes.c_int64
@@ -60,7 +79,7 @@ def load_library(build: bool = True):
     lib.fs_gather.argtypes = [ctypes.c_int64,
                               ctypes.POINTER(ctypes.c_int64),
                               ctypes.c_int64,
-                              ctypes.POINTER(ctypes.c_float)]
+                              ctypes.c_void_p]
     lib.fs_prefetch.restype = ctypes.c_int64
     lib.fs_prefetch.argtypes = lib.fs_gather.argtypes
     lib.fs_wait.restype = ctypes.c_int32
@@ -71,67 +90,93 @@ def load_library(build: bool = True):
     return _LIB
 
 
-def npy_header_bytes(path: str) -> tuple[int, tuple[int, ...]]:
-    """Offset of the data section and the shape of a .npy file (f32, C)."""
+def _bf16_dtype():
+    import ml_dtypes
+
+    return np.dtype(ml_dtypes.bfloat16)
+
+
+def npy_header_bytes(path: str) -> tuple[int, tuple[int, ...], np.dtype]:
+    """Offset of the data section, shape, and element dtype of a .npy file.
+
+    Accepts C-order float32 and bfloat16 feature matrices.  bf16 features
+    (``extract --feat-dtype bfloat16``) are written as a uint16 bit-view so
+    stock numpy can still open the file; any 2-byte elementwise dtype
+    (``<u2``/``|V2``) is interpreted as bf16 here — this store only ever
+    holds CNN activations."""
     with open(path, "rb") as f:
         version = np.lib.format.read_magic(f)
         shape, fortran, dtype = np.lib.format._read_array_header(f, version)
-        if fortran or dtype != np.dtype("float32"):
-            raise ValueError("need C-order float32 npy, got %s" % dtype)
-        return f.tell(), shape
+        if fortran:
+            raise ValueError("need C-order npy")
+        if dtype == np.dtype("float32"):
+            return f.tell(), shape, dtype
+        if dtype.itemsize == 2 and dtype.kind in "uV":
+            return f.tell(), shape, _bf16_dtype()
+        if dtype == _bf16_dtype():
+            return f.tell(), shape, dtype
+        raise ValueError("need float32 or bfloat16 npy, got %s" % dtype)
 
 
 class NativeFeatureStore:
-    """Row store over a float32 matrix on disk; gathers run in C++ threads."""
+    """Row store over an on-disk feature matrix (f32 or bf16 elements);
+    gathers run in C++ threads."""
 
     def __init__(self, handle, lib, rows: int, cols: int,
                  fallback: np.ndarray | None = None,
-                 row_shape: tuple[int, ...] | None = None):
+                 row_shape: tuple[int, ...] | None = None,
+                 dtype: np.dtype = np.dtype(np.float32)):
         self._handle = handle
         self._lib = lib
         self.rows = rows
         self.cols = cols
         self.row_shape = row_shape or (cols,)
+        self.dtype = np.dtype(dtype)
         self._fallback = fallback
 
     # -- constructors --------------------------------------------------------
     @classmethod
     def open_npy(cls, path: str, n_threads: int = 0) -> "NativeFeatureStore":
-        header, shape = npy_header_bytes(path)
+        header, shape, dtype = npy_header_bytes(path)
         rows = shape[0]
         cols = int(np.prod(shape[1:]))
         lib = load_library()
         if lib is None:
-            arr = np.load(path, mmap_mode="r").reshape(rows, cols)
+            arr = np.memmap(path, dtype=dtype, mode="r", offset=header,
+                            shape=(rows, cols))
             return cls(None, None, rows, cols, fallback=arr,
-                       row_shape=tuple(shape[1:]))
-        handle = lib.fs_open(path.encode(), rows, cols, header, n_threads)
+                       row_shape=tuple(shape[1:]), dtype=dtype)
+        handle = lib.fs_open(path.encode(), rows, cols, header,
+                             dtype.itemsize, n_threads)
         if handle < 0:
             raise OSError("fs_open failed with code %d for %s"
                           % (handle, path))
-        return cls(handle, lib, rows, cols, row_shape=tuple(shape[1:]))
+        return cls(handle, lib, rows, cols, row_shape=tuple(shape[1:]),
+                   dtype=dtype)
 
     @classmethod
     def open_raw(cls, path: str, rows: int, cols: int,
                  header_bytes: int = 0,
-                 n_threads: int = 0) -> "NativeFeatureStore":
+                 n_threads: int = 0,
+                 dtype=np.float32) -> "NativeFeatureStore":
+        dtype = np.dtype(dtype)
         lib = load_library()
         if lib is None:
-            arr = np.memmap(path, dtype=np.float32, mode="r",
+            arr = np.memmap(path, dtype=dtype, mode="r",
                             offset=header_bytes, shape=(rows, cols))
-            return cls(None, None, rows, cols, fallback=arr)
+            return cls(None, None, rows, cols, fallback=arr, dtype=dtype)
         handle = lib.fs_open(path.encode(), rows, cols, header_bytes,
-                             n_threads)
+                             dtype.itemsize, n_threads)
         if handle < 0:
             raise OSError("fs_open failed with code %d" % handle)
-        return cls(handle, lib, rows, cols)
+        return cls(handle, lib, rows, cols, dtype=dtype)
 
     # -- ops ----------------------------------------------------------------
     def gather(self, indices, out: np.ndarray | None = None) -> np.ndarray:
         idx = np.ascontiguousarray(indices, dtype=np.int64).ravel()
         if out is None:
-            out = np.empty((idx.shape[0], self.cols), dtype=np.float32)
-        assert out.flags.c_contiguous and out.dtype == np.float32
+            out = np.empty((idx.shape[0], self.cols), dtype=self.dtype)
+        assert out.flags.c_contiguous and out.dtype == self.dtype
         if self._fallback is not None:
             np.take(self._fallback, idx, axis=0, out=out)
             return out
@@ -139,7 +184,7 @@ class NativeFeatureStore:
             self._handle,
             idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             idx.shape[0],
-            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+            ctypes.c_void_p(out.ctypes.data))
         if rc != 0:
             raise RuntimeError("fs_gather failed: %d" % rc)
         return out
@@ -147,7 +192,7 @@ class NativeFeatureStore:
     def prefetch(self, indices, out: np.ndarray):
         """Start an async gather into ``out``; returns a ticket for wait()."""
         idx = np.ascontiguousarray(indices, dtype=np.int64).ravel()
-        assert out.flags.c_contiguous and out.dtype == np.float32
+        assert out.flags.c_contiguous and out.dtype == self.dtype
         if self._fallback is not None:
             np.take(self._fallback, idx, axis=0, out=out)
             return -1
@@ -155,7 +200,7 @@ class NativeFeatureStore:
             self._handle,
             idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             idx.shape[0],
-            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+            ctypes.c_void_p(out.ctypes.data))
         if ticket < 0:
             raise RuntimeError("fs_prefetch failed: %d" % ticket)
         return ticket

@@ -116,7 +116,8 @@ class VQAArrays:
         first_rows = self.image_rows[idx_at(0)]
         row_shape = self.store.row_shape
         cols = int(np.prod(row_shape))
-        bufs = [np.empty((batch_size, cols), np.float32) for _ in range(2)]
+        buf_dtype = getattr(self.store, "dtype", np.dtype(np.float32))
+        bufs = [np.empty((batch_size, cols), buf_dtype) for _ in range(2)]
         ticket = self.store.prefetch_rows(first_rows, bufs[0][:len(first_rows)])
         if ticket is not None:
             for i in range(len(starts)):

@@ -16,7 +16,11 @@
 //     prefetch depth 2x workers, dataloader.py:153-155).
 //
 // C ABI (ctypes-friendly), no Python.h dependency:
-//   fs_open(path, rows, cols)           -> handle (int64) or <0 on error
+//   fs_abi_version()                    -> 2 (bindings rebuild on mismatch)
+//   fs_open(path, rows, cols, header_bytes, elem_size, n_threads)
+//                                       -> handle (int64) or <0 on error;
+//                                          elem_size in bytes (4 = f32,
+//                                          2 = bf16 — rows are opaque bytes)
 //   fs_rows/fs_cols(handle)             -> dims
 //   fs_gather(handle, idx, n, out)      -> synchronous gather, 0 on success
 //   fs_prefetch(handle, idx, n, out)    -> ticket (async gather into out)
@@ -94,12 +98,13 @@ struct Ticket {
 };
 
 struct Store {
-  const float *data = nullptr;
+  const char *data = nullptr;
   const void *map_base = nullptr;
   size_t map_bytes = 0;
   int fd = -1;
   int64_t rows = 0;
   int64_t cols = 0;
+  int64_t elem_size = sizeof(float);
   std::unique_ptr<ThreadPool> pool;
   std::mutex tickets_mu;
   std::map<int64_t, std::shared_ptr<Ticket>> tickets;
@@ -119,14 +124,15 @@ Store *get_store(int64_t handle) {
 // Gather a contiguous range of output rows; each job handles a slab so the
 // per-job overhead amortizes and rows stream sequentially per thread.
 void gather_range(const Store *s, const int64_t *idx, int64_t begin,
-                  int64_t end, float *out) {
-  const size_t row_bytes = static_cast<size_t>(s->cols) * sizeof(float);
+                  int64_t end, char *out) {
+  const size_t row_bytes =
+      static_cast<size_t>(s->cols) * static_cast<size_t>(s->elem_size);
   for (int64_t i = begin; i < end; ++i) {
     const int64_t row = idx[i];
     if (row < 0 || row >= s->rows) {
-      std::memset(out + i * s->cols, 0, row_bytes);
+      std::memset(out + i * row_bytes, 0, row_bytes);
     } else {
-      std::memcpy(out + i * s->cols, s->data + row * s->cols, row_bytes);
+      std::memcpy(out + i * row_bytes, s->data + row * row_bytes, row_bytes);
     }
   }
 }
@@ -135,8 +141,12 @@ void gather_range(const Store *s, const int64_t *idx, int64_t begin,
 
 extern "C" {
 
+int32_t fs_abi_version() { return 2; }
+
 int64_t fs_open(const char *path, int64_t rows, int64_t cols,
-                int64_t header_bytes, int32_t n_threads) {
+                int64_t header_bytes, int32_t elem_size,
+                int32_t n_threads) {
+  if (elem_size <= 0) elem_size = static_cast<int32_t>(sizeof(float));
   int fd = ::open(path, O_RDONLY);
   if (fd < 0) return -1;
   struct stat st;
@@ -146,7 +156,8 @@ int64_t fs_open(const char *path, int64_t rows, int64_t cols,
   }
   const size_t need =
       static_cast<size_t>(header_bytes) +
-      static_cast<size_t>(rows) * static_cast<size_t>(cols) * sizeof(float);
+      static_cast<size_t>(rows) * static_cast<size_t>(cols) *
+          static_cast<size_t>(elem_size);
   if (static_cast<size_t>(st.st_size) < need) {
     ::close(fd);
     return -3;
@@ -162,10 +173,10 @@ int64_t fs_open(const char *path, int64_t rows, int64_t cols,
   store->fd = fd;
   store->map_base = map;
   store->map_bytes = st.st_size;
-  store->data = reinterpret_cast<const float *>(
-      static_cast<const char *>(map) + header_bytes);
+  store->data = static_cast<const char *>(map) + header_bytes;
   store->rows = rows;
   store->cols = cols;
+  store->elem_size = elem_size;
   if (n_threads <= 0) {
     n_threads = static_cast<int32_t>(std::thread::hardware_concurrency());
     if (n_threads <= 0) n_threads = 4;
@@ -189,7 +200,8 @@ int64_t fs_cols(int64_t handle) {
 }
 
 int32_t fs_gather(int64_t handle, const int64_t *idx, int64_t n,
-                  float *out) {
+                  void *out_buf) {
+  char *out = static_cast<char *>(out_buf);
   Store *s = get_store(handle);
   if (!s) return -1;
   // slabs of >= 64 rows: large enough to amortize, small enough to balance
@@ -220,7 +232,8 @@ int32_t fs_gather(int64_t handle, const int64_t *idx, int64_t n,
 }
 
 int64_t fs_prefetch(int64_t handle, const int64_t *idx, int64_t n,
-                    float *out) {
+                    void *out_buf) {
+  char *out = static_cast<char *>(out_buf);
   Store *s = get_store(handle);
   if (!s) return -1;
   auto ticket = std::make_shared<Ticket>();
