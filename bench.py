@@ -20,7 +20,10 @@ v_proj cache (both xplane-trace-identified; scripts/profile_cx_trace.py)
 (B=768: 98.4k pre-trace-fixes, 60.8k after — the pre-tiled gather lowers
 pathologically at that shape while B=384 reproduces at 125.6k; B=384 stays
 the default) -> 128.7k with device-resident pre-uploaded batches
-(reproduced 128.6/128.8k across three runs 2026-08-17).
+(reproduced 128.6/128.8k across three runs 2026-08-17) -> +1.5% from AUTO
+entry layouts on the donated state (123.4 -> 125.2k same-session
+2026-08-18 on a slower chip day; default-on via
+core/policy.auto_layout_jit_kwargs, VQACX_AUTO_LAYOUT=0 reverts).
 B=512 programs fail with transient 'UNAVAILABLE: TPU device error' on most
 attempts on the tunneled chip (2026-08-16: 1 success / 7 tries; a failed
 B=512 program wedges the chip for minutes), so the default stays at the

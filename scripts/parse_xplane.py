@@ -80,7 +80,9 @@ def report(trace_dir: str, top: int = 30):
         if "TPU" not in name:
             continue
         # XPlane.event_metadata: map<id, XEventMetadata{id=1, name=2}>
-        evm = {int(em[1][0]): em[2][0].get(2, ["?"])[0]
+        # some entries carry a nested block where the name string should be
+        # (e.g. stats-only metadata) — coerce to str so the report survives
+        evm = {int(em[1][0]): str(em[2][0].get(2, ["?"])[0])
                for em in p.get(4, []) if isinstance(em, dict)}
         for line_ in p.get(3, []):  # XPlane.lines
             lname = line_.get(2, [""])[0]
@@ -90,7 +92,7 @@ def report(trace_dir: str, top: int = 30):
                     continue
                 mid = int(ev.get(1, [0])[0])        # XEvent.metadata_id
                 dur_ms = int(ev.get(3, [0])[0]) / 1e9   # duration_ps
-                nm = evm.get(mid, str(mid)).strip('"')
+                nm = str(evm.get(mid, mid)).strip('"')
                 totals[nm] += dur_ms
                 counts[nm] += 1
             if not totals:

@@ -66,9 +66,11 @@ def main():
     rng = np.random.default_rng(0)
     visual_shape = ((args.batch, 14, 14, 2048) if is_att
                     else (args.batch, 2048))
+    from vqa_counterexamples_tpu.core.policy import compute_dtype
     batch = {
+        # same dtype as bench_vqa.py: bf16-resident features under the policy
         "visual": jnp.asarray(rng.standard_normal(
-            visual_shape, dtype=np.float32)),
+            visual_shape, dtype=np.float32), dtype=compute_dtype()),
         "question": jnp.asarray(rng.integers(
             1, len(vocab_words), (args.batch, 26), dtype=np.int64)
             .astype(np.int32)),

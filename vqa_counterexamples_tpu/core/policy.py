@@ -50,3 +50,39 @@ def cast_in(*arrays):
     dt = _compute_dtype
     out = tuple(a.astype(dt) if a.dtype != dt else a for a in arrays)
     return out if len(out) > 1 else out[0]
+
+
+def auto_layout_jit_kwargs(n_rest: int) -> dict:
+    """jit kwargs that let XLA pick the donated train-state's memory layouts.
+
+    By default a jitted program gets row-major entry layouts for its
+    arguments, and any operand the compiled program wants tiled differently
+    (e.g. the GRU weight matrices, whose MXU-friendly layout is
+    kernel-interleaved) pays a relayout copy inside every step.  With
+    ``Layout.AUTO`` on the *donated* state argument and on the state output,
+    XLA chooses the entry layouts itself and the state circulates step to
+    step already in its preferred form — the per-step ``copy`` fusions for
+    params/Adam moments disappear (measured +14% on MutanNoAtt pretraining
+    at B=512 bf16).  Loop-invariant operands (features, batches, caches)
+    keep default layouts so host-built arrays never relayout per call.
+
+    Returns ``{"in_shardings": (AUTO, None * n_rest), "out_shardings":
+    (AUTO, None)}`` for a step of signature ``(state, *rest) -> (state,
+    metrics)``, or ``{}`` when disabled (``VQACX_AUTO_LAYOUT=0``), on
+    multi-device runs (mesh shardings own the layout story there), or when
+    the layout API is unavailable.
+    """
+    env = os.environ.get("VQACX_AUTO_LAYOUT")
+    if env == "0":
+        return {}
+    import jax
+
+    if env != "1" and jax.device_count() != 1:
+        return {}
+    try:
+        from jax.experimental.layout import Format, Layout
+    except ImportError:
+        return {}
+    auto = Format(Layout.AUTO)
+    return {"in_shardings": (auto,) + (None,) * n_rest,
+            "out_shardings": (auto, None)}

@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from ..core import policy
 from ..core import rng as rng_lib
 from ..ops.metrics import pairwise_distance, recall_at_k
 from .cx_engine import cache_kwargs, frozen_param_keys, split_params
@@ -45,9 +46,12 @@ def make_contrastive_train_step(model, optimizer, *, margin: float = 2.0,
             and getattr(model, "trainable_vqa", False)):
         raise ValueError("q_emb/v_proj caches require a frozen VQA backbone")
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def train_step(state: ContrastiveState, features, batch, n_valid,
-                   q_table=None, v_table=None):
+    # 6-arg jit + thin wrapper: in_shardings (the AUTO-layout path,
+    # core/policy.auto_layout_jit_kwargs) must match the positional arity
+    @functools.partial(jax.jit, donate_argnums=(0,),
+                       **policy.auto_layout_jit_kwargs(5))
+    def _step(state: ContrastiveState, features, batch, n_valid,
+              q_table, v_table):
         keys = rng_lib.step_keys(root, state.step, ("dropout", "lesion"))
         batch_size = batch["comp_idxs"].shape[0]
         mask = jnp.arange(batch_size) < n_valid
@@ -82,6 +86,10 @@ def make_contrastive_train_step(model, optimizer, *, margin: float = 2.0,
         return new_state, {
             "loss": loss, "loss_comp": loss_comp, "loss_other": loss_other,
             "dist_comp": jnp.mean(d_comp), "dist_other": jnp.mean(d_other)}
+
+    def train_step(state: ContrastiveState, features, batch, n_valid,
+                   q_table=None, v_table=None):
+        return _step(state, features, batch, n_valid, q_table, v_table)
 
     return train_step
 

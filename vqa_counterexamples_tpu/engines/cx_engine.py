@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from ..core import policy
 from ..core import rng as rng_lib
 from ..data import vqacx
 from ..ops.metrics import recall_at_k
@@ -196,11 +197,22 @@ def make_cx_train_step(model, optimizer, *, recall_k: int = 5,
     # the step's HBM allocation traffic; the frozen subtree (vqa_model with
     # trainable_vqa=False) is outside the grad/Adam path entirely and aliases
     # straight through the donated buffer
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def train_step(state: CXTrainState, features, batch, n_valid,
-                   q_table=None, v_table=None):
+    # jit the full 6-arg signature (in_shardings must match the positional
+    # arity exactly, so the optional cache tables are normalized to explicit
+    # Nones in the thin wrapper below)
+    @functools.partial(jax.jit, donate_argnums=(0,),
+                       **policy.auto_layout_jit_kwargs(5))
+    def _step(state: CXTrainState, features, batch, n_valid,
+              q_table, v_table):
         return body(state, features, batch, n_valid, q_table, v_table)
 
+    def train_step(state: CXTrainState, features, batch, n_valid,
+                   q_table=None, v_table=None):
+        return _step(state, features, batch, n_valid, q_table, v_table)
+
+    train_step.lower = (
+        lambda state, features, batch, n_valid, q_table=None, v_table=None:
+        _step.lower(state, features, batch, n_valid, q_table, v_table))
     return train_step
 
 

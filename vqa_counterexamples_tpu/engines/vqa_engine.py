@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from ..core import policy
 from ..core import rng as rng_lib
 from ..ops.metrics import accuracy_topk, cross_entropy_mean
 
@@ -41,7 +42,8 @@ def init_vqa_state(model, optimizer, example_batch: dict,
 def make_vqa_train_step(model, optimizer, base_seed: int = 42) -> Callable:
     root = rng_lib.root_key(base_seed)
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
+    @functools.partial(jax.jit, donate_argnums=(0,),
+                       **policy.auto_layout_jit_kwargs(1))
     def train_step(state: VQATrainState, batch):
         keys = rng_lib.step_keys(root, state.step, ("dropout",))
 
