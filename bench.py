@@ -3,7 +3,7 @@
 Runs the flagship workload — NeuralCX (dim_h=300, n_layers=2) over a
 full-size MutanNoAtt backbone (dim_v=2048, dim_q=2400, R=10, 24 candidates) —
 as end-to-end jitted training steps on synthetic data with reference
-hyperparameters (Adam 1e-4, drop 0.25, BayesianUniSkip encoder) at B=384
+hyperparameters (Adam 1e-4, drop 0.25, BayesianUniSkip encoder) at B=512
 with the first-party Pallas MUTAN kernel in the measured path and the
 frozen-encoder q_emb cache on (the flagship config freezes the VQA
 backbone, so the encoder output is a training constant — precomputed once,
@@ -23,12 +23,16 @@ the default) -> 128.7k with device-resident pre-uploaded batches
 (reproduced 128.6/128.8k across three runs 2026-08-17) -> +1.5% from AUTO
 entry layouts on the donated state (123.4 -> 125.2k same-session
 2026-08-18 on a slower chip day; default-on via
-core/policy.auto_layout_jit_kwargs, VQACX_AUTO_LAYOUT=0 reverts).
-B=512 programs fail with transient 'UNAVAILABLE: TPU device error' on most
-attempts on the tunneled chip (2026-08-16: 1 success / 7 tries; a failed
-B=512 program wedges the chip for minutes), so the default stays at the
-largest shape that completes reliably.  Override with VQACX_BENCH_BATCH /
-VQACX_ENABLE_PALLAS=0 / VQACX_COMPUTE_DTYPE=bfloat16 / VQACX_BENCH_QCACHE=0.
+core/policy.auto_layout_jit_kwargs, VQACX_AUTO_LAYOUT=0 reverts)
+-> **135.0k at B=512** (90x, MFU 0.20; 135.0/132.2/135.0k across three
+2026-08-18 runs) -> **136.3k** with the 8-bit dropout masks
+(core/rng.keep_mask).  B=512 programs previously failed with transient
+'UNAVAILABLE: TPU device error' on most attempts (2026-08-16: 1/7, a
+failed program wedged the chip for minutes) so B=384 was the default;
+with the AUTO-layout program it ran 3/3 clean and is now the default —
+the retry harness below stays as the safety net.  Override with
+VQACX_BENCH_BATCH / VQACX_ENABLE_PALLAS=0 / VQACX_COMPUTE_DTYPE=bfloat16
+/ VQACX_BENCH_QCACHE=0.
 
 Baseline: the reference publishes no throughput numbers (BASELINE.md).  The
 reference per-step work includes a host-side numpy gather of B x 25 feature
@@ -52,7 +56,7 @@ import time
 import numpy as np
 
 REFERENCE_BASELINE_EXAMPLES_PER_SEC = 1500.0
-BATCH_SIZE = int(os.environ.get("VQACX_BENCH_BATCH", "384"))
+BATCH_SIZE = int(os.environ.get("VQACX_BENCH_BATCH", "512"))
 N_WARMUP = 3
 N_STEPS = 50
 # v5e ("TPU v5 lite") peak: 197 bf16 TFLOP/s per chip

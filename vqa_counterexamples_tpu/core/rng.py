@@ -49,6 +49,33 @@ def root_key(seed: int = 42) -> jax.Array:
     return jax.random.key(seed, impl=impl)
 
 
+def keep_mask(key: jax.Array, keep_prob: float, shape):
+    """Boolean keep-mask + unbiased inverse scale for inverted dropout.
+
+    Default (``VQACX_DROPOUT_BITS=8``) draws 8 random bits per element and
+    keeps where ``bits < round(keep_prob * 256)`` — a quarter of the
+    random-bit traffic of ``jax.random.bernoulli``, whose uniform draw
+    materializes 32 bits per element (the (B, 196, 2048) attention-input
+    mask alone is 411 MB/step of u32 at B=256; u8 is 103 MB).  The keep
+    probability quantizes to 1/256 resolution — *exact* for the reference
+    rates (0.5 -> 128/256, 0.25 -> 192/256) — and the returned scale is
+    ``256/thresh``, so the estimator stays unbiased even for rates the
+    quantization rounds.  ``VQACX_DROPOUT_BITS=32`` restores bernoulli
+    masks (also used automatically when keep_prob rounds to 0 or 256).
+
+    Returns ``(mask, scale)``; apply as ``where(mask, x * scale, 0)``.
+    ``scale`` is a weak-typed Python float, so bf16 activations stay bf16.
+    """
+    import jax.numpy as jnp
+
+    if os.environ.get("VQACX_DROPOUT_BITS", "8") == "8":
+        thresh = int(round(keep_prob * 256))
+        if 0 < thresh < 256:
+            bits = jax.random.bits(key, shape, dtype=jnp.uint8)
+            return bits < jnp.uint8(thresh), 256.0 / thresh
+    return jax.random.bernoulli(key, keep_prob, shape), 1.0 / keep_prob
+
+
 def step_keys(key: jax.Array, step, names: tuple[str, ...]) -> dict[str, jax.Array]:
     """Derive one named key per consumer for a given step.
 

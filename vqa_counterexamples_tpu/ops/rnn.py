@@ -28,6 +28,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ..core import rng as rng_lib
+
 
 def process_lengths(wids: jax.Array) -> jax.Array:
     """Length = maxlength - (#zero tokens); reference seq2vec.py:11-14."""
@@ -306,10 +308,12 @@ def gru_scan(params: GRUParams, x: jax.Array, *, dropout: float = 0.0,
             raise ValueError("rng required for non-deterministic GRU")
         kx, kh = jax.random.split(rng)
         # variational dropout: one mask per sequence, shared across time
-        mask_x = jax.random.bernoulli(kx, 1.0 - dropout, (batch, x.shape[-1]))
-        mask_x = mask_x.astype(x.dtype) / (1.0 - dropout)
-        mask_h = jax.random.bernoulli(kh, 1.0 - dropout, (batch, dim_h))
-        mask_h = mask_h.astype(x.dtype) / (1.0 - dropout)
+        keep_x, scale_x = rng_lib.keep_mask(kx, 1.0 - dropout,
+                                            (batch, x.shape[-1]))
+        mask_x = keep_x.astype(x.dtype) * jnp.asarray(scale_x, x.dtype)
+        keep_h, scale_h = rng_lib.keep_mask(kh, 1.0 - dropout,
+                                            (batch, dim_h))
+        mask_h = keep_h.astype(x.dtype) * jnp.asarray(scale_h, x.dtype)
         x = x * mask_x[:, None, :]
 
     mode = _pallas_gru_mode()

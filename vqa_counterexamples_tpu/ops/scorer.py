@@ -31,6 +31,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ..core import rng as rng_lib
+
 
 class FeatureSlices(NamedTuple):
     """Column offsets of each feature block inside the fused first-layer weight.
@@ -145,8 +147,8 @@ def mlp_tail(h: jax.Array, hidden_ws, hidden_bs, w_out: jax.Array,
     def drop(x, key):
         if deterministic or drop_p == 0.0:
             return x
-        keep = jax.random.bernoulli(key, 1.0 - drop_p, x.shape)
-        return jnp.where(keep, x / (1.0 - drop_p), 0.0)
+        keep, scale = rng_lib.keep_mask(key, 1.0 - drop_p, x.shape)
+        return jnp.where(keep, x * scale, 0.0)
 
     n_drops = 1 + len(hidden_ws)
     keys = (jax.random.split(rng, n_drops) if rng is not None
