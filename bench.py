@@ -26,7 +26,11 @@ entry layouts on the donated state (123.4 -> 125.2k same-session
 core/policy.auto_layout_jit_kwargs, VQACX_AUTO_LAYOUT=0 reverts)
 -> **135.0k at B=512** (90x, MFU 0.20; 135.0/132.2/135.0k across three
 2026-08-18 runs) -> **136.3k** with the 8-bit dropout masks
-(core/rng.keep_mask).  B=512 programs previously failed with transient
+(core/rng.keep_mask) -> **152.0k (101x, MFU 0.22; repeat 151.0k)** with
+the per-(example, candidate) fused-embedding z cache
+(cx_engine.precompute_z_emb, VQACX_BENCH_ZCACHE=0 reverts): with the
+backbone frozen the whole fusion output is a training constant, so the
+per-step v_proj gather + rank multiply-sum collapses to one row gather.  B=512 programs previously failed with transient
 'UNAVAILABLE: TPU device error' on most attempts (2026-08-16: 1/7, a
 failed program wedged the chip for minutes) so B=384 was the default;
 with the AUTO-layout program it ran 3/3 clean and is now the default —
@@ -131,6 +135,14 @@ def main():
     # the per-step MUTAN fusion collapses to gather + rank multiply-sum
     # (tests/test_v_cache.py pins the numerics).
     use_v_cache = os.environ.get("VQACX_BENCH_VCACHE", "1") == "1"
+    # And one level further: with the backbone frozen the whole fusion
+    # output z is a training constant per (example, candidate) — the
+    # per-step v_proj gather + rank multiply-sum (~15% of the B=512 device
+    # step) collapses to one (B, K+1, dim_mm) row gather
+    # (cx_engine.precompute_z_emb; tests/test_z_cache.py pins numerics).
+    # ~3.9 GB bf16 at VQA2-CX train scale — device-resident on 16 GB chips.
+    use_z_cache = (os.environ.get("VQACX_BENCH_ZCACHE", "1") == "1"
+                   and use_q_cache and use_v_cache)
     # Scanned trainer (opt-in, VQACX_BENCH_SCAN=1): SCAN_LEN steps per
     # dispatch via cx_engine.make_cx_train_scan.  Measured SLOWER here —
     # 119.2k vs 128.8k examples/sec back-to-back (2026-08-17): the scan
@@ -144,12 +156,14 @@ def main():
     if scan_len:
         train_scan = cx_engine.make_cx_train_scan(model, optimizer,
                                                   use_q_cache=use_q_cache,
-                                                  use_v_cache=use_v_cache)
+                                                  use_v_cache=use_v_cache,
+                                                  use_z_cache=use_z_cache)
     train_step = cx_engine.make_cx_train_step(model, optimizer,
                                               use_q_cache=use_q_cache,
-                                              use_v_cache=use_v_cache)
+                                              use_v_cache=use_v_cache,
+                                              use_z_cache=use_z_cache)
     t0 = time.time()
-    q_table = v_table = None
+    q_table = v_table = z_table = None
     if use_q_cache:
         q_table = cx_engine.precompute_q_emb(model, state.params,
                                              arrays.question_wids,
@@ -158,6 +172,13 @@ def main():
     if use_v_cache:
         v_table = cx_engine.precompute_v_proj(model, state.params, features)
         jax.block_until_ready(v_table)
+    if use_z_cache:
+        z_table = cx_engine.precompute_z_emb(model, state.params, features,
+                                             arrays.image_idxs, q_table,
+                                             v_table=v_table)
+        jax.block_until_ready(z_table)
+        # z subsumes v in the step; v_table was only the build intermediate
+        v_table = None
     # bf16-resident feature matrix + tables under the bf16 policy: the GEMMs
     # cast inputs to bf16 anyway, so storing them bf16 halves the gather
     # traffic and deletes the per-step cast round-trips (measured 4.94 ->
@@ -170,7 +191,9 @@ def main():
             q_table = q_table.astype(jnp.bfloat16)
         if v_table is not None:
             v_table = v_table.astype(jnp.bfloat16)
-    extra = cx_engine._cache_extras(q_table, v_table)
+        if z_table is not None:
+            z_table = z_table.astype(jnp.bfloat16)
+    extra = cx_engine._cache_extras(q_table, v_table, z_table)
     q_build_s = time.time() - t0
 
     rng = np.random.default_rng(0)
@@ -251,6 +274,7 @@ def main():
         "pallas": os.environ.get("VQACX_ENABLE_PALLAS") == "1",
         "q_cache": use_q_cache,
         "v_cache": use_v_cache,
+        "z_cache": use_z_cache,
         "compute_dtype": os.environ.get("VQACX_COMPUTE_DTYPE", "float32"),
         "bf16_tables": bf16_tables,
         "cache_build_s": round(q_build_s, 1),

@@ -1,0 +1,149 @@
+"""Precomputed fused-embedding (z) cache: identical numerics to the in-step
+fusion.
+
+The q_emb/v_proj caching logic taken to its conclusion: with
+``trainable_vqa=False`` the entire MUTAN fusion output is a training
+constant per (question, image) pair (reference cx.py:59-60 freezes the VQA
+model in eval mode; cache.ipynb prototyped activation caching), so
+``cx_engine.precompute_z_emb`` hoists it out of the step as an
+(n_examples, K+1, dim_mm) table gathered by ``batch['example_idxs']``.
+These tests pin the contract: cached and uncached paths give the same
+scores and training trajectory, the v_emb lesion bypasses the cache, and
+trainable backbones are rejected.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from vqa_counterexamples_tpu.data import synthetic, vqacx
+from vqa_counterexamples_tpu.engines import cx_engine
+from vqa_counterexamples_tpu.models import factory
+
+
+def _setup(**spec_over):
+    dataset, store = synthetic.make_synthetic_cx(
+        n_examples=48, n_images=24, dim_v=16, knn_size=6, n_words=20,
+        n_answers=8, seed=5)
+    opt = synthetic.tiny_vqa_options(dim_v=16, nans=8)
+    vqa = factory.factory_vqa(opt, dataset["vocab_words"],
+                              dataset["vocab_answers"])
+    spec = dict(dim_h=16, n_layers=1, drop_p=0.2, v_emb=True, v_mult=True,
+                v_dist=True, v_rank=True, q_emb=True, a_emb=True, z_emb=True,
+                pretrained_emb=False, trainable_vqa=False)
+    spec.update(spec_over)
+    model = factory.factory_cx("NeuralModel", vqa, knn_size=6,
+                               model_spec=spec)
+    arrays = vqacx.CXArrays.from_examples(dataset["examples_list"],
+                                          dataset["name_to_index"])
+    features = store.to_device()
+    optimizer = optax.adam(1e-3)
+    batch = vqacx.gather_batch(arrays, np.arange(16))
+    state = cx_engine.init_cx_state(model, optimizer, batch, features)
+    return model, optimizer, state, features, arrays
+
+
+@pytest.fixture(scope="module")
+def setup():
+    return _setup()
+
+
+def _tables(model, state, features, arrays, z_chunk=20):
+    q_table = cx_engine.precompute_q_emb(model, state.params,
+                                         arrays.question_wids)
+    v_table = cx_engine.precompute_v_proj(model, state.params, features)
+    # uneven final chunk exercises the padding path
+    z_table = cx_engine.precompute_z_emb(model, state.params, features,
+                                         arrays.image_idxs, q_table,
+                                         v_table=v_table,
+                                         batch_size=z_chunk)
+    return q_table, v_table, z_table
+
+
+def test_z_cache_matches_in_step_fusion(setup):
+    model, optimizer, state, features, arrays = setup
+    q_table, v_table, z_table = _tables(model, state, features, arrays)
+    assert z_table.shape == (arrays.size, arrays.knn_size + 1,
+                             model.vqa_model.opt["fusion"]["dim_mm"])
+
+    es_plain = cx_engine.make_cx_eval_step(model, recall_k=3)
+    es_cache = cx_engine.make_cx_eval_step(model, recall_k=3,
+                                           use_q_cache=True,
+                                           use_z_cache=True)
+    r_plain = cx_engine.eval_model(es_plain, state.params, features, arrays,
+                                   16)
+    r_cache = cx_engine.eval_model(es_cache, state.params, features, arrays,
+                                   16, q_table=q_table, z_table=z_table)
+    for key in r_plain:
+        assert r_plain[key] == pytest.approx(r_cache[key], abs=1e-5), key
+
+
+def test_z_cache_built_without_v_table(setup):
+    # building z straight from the fusion (no v_proj intermediate) matches
+    model, optimizer, state, features, arrays = setup
+    q_table, v_table, z_table = _tables(model, state, features, arrays)
+    z_direct = cx_engine.precompute_z_emb(model, state.params, features,
+                                          arrays.image_idxs, q_table)
+    np.testing.assert_allclose(np.asarray(z_table), np.asarray(z_direct),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_z_cached_training_matches_uncached(setup):
+    # Tolerance note mirrors test_v_cache: the cached fusion runs at a
+    # different GEMM shape than the in-step one (chunked example rows vs
+    # B*(K+1) candidate rows), so ulp-level differences get amplified by
+    # Adam's sign normalization — one step pinned tightly, an epoch loosely.
+    model, optimizer, state, features, arrays = setup
+    q_table, v_table, z_table = _tables(model, state, features, arrays)
+
+    ts_plain = cx_engine.make_cx_train_step(model, optimizer, recall_k=3)
+    ts_cache = cx_engine.make_cx_train_step(model, optimizer, recall_k=3,
+                                            use_q_cache=True,
+                                            use_z_cache=True)
+    copy = jax.tree_util.tree_map(lambda x: x.copy(), state)
+    s1, s2 = state, copy
+
+    batch = vqacx.gather_batch(arrays, np.arange(16))
+    nv = jnp.asarray(16.0, jnp.float32)
+    s1, m1 = ts_plain(s1, features, batch, nv)
+    s2, m2 = ts_cache(s2, features, batch, nv, q_table, None, z_table)
+    assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), abs=1e-5)
+    assert float(m1["correct"]) == float(m2["correct"])
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=2.5e-3)
+
+    rng1, rng2 = (np.random.default_rng(7) for _ in range(2))
+    s1, _ = cx_engine.train_epoch(ts_plain, s1, features, arrays, 16,
+                                  rng=rng1)
+    s2, _ = cx_engine.train_epoch(ts_cache, s2, features, arrays, 16,
+                                  rng=rng2, q_table=q_table, z_table=z_table)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-2, atol=1e-2)
+
+
+def test_v_emb_lesion_bypasses_z_cache():
+    model, optimizer, state, features, arrays = _setup(v_emb=False)
+    q_table, v_table, z_table = _tables(model, state, features, arrays)
+    es_plain = cx_engine.make_cx_eval_step(model, recall_k=3)
+    es_cache = cx_engine.make_cx_eval_step(model, recall_k=3,
+                                           use_q_cache=True,
+                                           use_z_cache=True)
+    r_plain = cx_engine.eval_model(es_plain, state.params, features, arrays,
+                                   16)
+    r_cache = cx_engine.eval_model(es_cache, state.params, features, arrays,
+                                   16, q_table=q_table, z_table=z_table)
+    for key in r_plain:
+        assert r_plain[key] == pytest.approx(r_cache[key], abs=1e-5), key
+
+
+def test_z_cache_rejects_trainable_vqa(setup):
+    model, optimizer, *_ = setup
+    trainable = model.clone(trainable_vqa=True)
+    with pytest.raises(ValueError):
+        cx_engine.make_cx_train_step(trainable, optimizer, use_z_cache=True)

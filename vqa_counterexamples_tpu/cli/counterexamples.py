@@ -68,6 +68,14 @@ def build_parser() -> argparse.ArgumentParser:
                         help="disable the precomputed frozen-encoder q_emb "
                              "cache (identical numerics; cache only skips "
                              "recomputing the frozen GRU every step)")
+    parser.add_argument("--z_cache", action="store_true",
+                        help="precompute the full fused embedding z per "
+                             "(example, candidate) — the q/v caching logic "
+                             "taken to its conclusion; replaces the in-step "
+                             "fusion with one row gather (identical "
+                             "numerics, tests/test_z_cache.py).  Opt-in: "
+                             "the table is ~7.7 GB f32 at VQA2-CX train "
+                             "scale; needs a frozen backbone, non-pairwise")
     parser.add_argument("--no_v_cache", action="store_true",
                         help="disable the precomputed per-image fusion "
                              "v-projection cache (numerically equivalent — "
@@ -295,6 +303,24 @@ def main(argv=None):
             use_v_cache = False
             v_train = v_val = None
 
+    # one level further (opt-in): the whole fused embedding per
+    # (example, candidate) is a training constant too — the in-step fusion
+    # collapses to a row gather (tests/test_z_cache.py)
+    z_train = z_val = None
+    use_z_cache = (args.z_cache and use_q_cache and use_v_cache
+                   and not args.pairwise)
+    if args.z_cache and not use_z_cache:
+        print("=> z-emb cache needs a frozen backbone with q+v caches and "
+              "a non-pairwise run; disabled")
+    if use_z_cache:
+        print("=> Precomputing per-example fused-embedding z cache...")
+        z_train = cx_engine.precompute_z_emb(
+            cx_model, state.params, features_train, train_arrays.image_idxs,
+            q_train, v_table=v_train)
+        z_val = cx_engine.precompute_z_emb(
+            cx_model, state.params, features_val, val_arrays.image_idxs,
+            q_val, v_table=v_val)
+
     # ---- optional data-parallel mesh (the TPU-native nn.DataParallel) ----
     mesh = None
     axes = parse_mesh(args.mesh)
@@ -348,25 +374,30 @@ def main(argv=None):
         if q_train is not None:
             q_train = jax.device_put(q_train, repl)
             q_val = jax.device_put(q_val, repl)
+        if z_train is not None:
+            z_train = jax.device_put(z_train, repl)
+            z_val = jax.device_put(z_val, repl)
         print("=> Mesh %s over %d devices" % (axes, n_dev))
 
     # ---- engines ----
     train_step = (cx_engine.make_cx_train_step(
         cx_model, optimizer, recall_k=1 if args.pairwise else 5,
         base_seed=args.seed, extra_apply_args=extra_args,
-        use_q_cache=use_q_cache, use_v_cache=use_v_cache)
+        use_q_cache=use_q_cache, use_v_cache=use_v_cache,
+        use_z_cache=use_z_cache)
         if optimizer is not None else None)
     eval_step = cx_engine.make_cx_eval_step(cx_model, recall_k=5,
                                             extra_apply_args=extra_args,
                                             use_q_cache=use_q_cache,
-                                            use_v_cache=use_v_cache)
+                                            use_v_cache=use_v_cache,
+                                            use_z_cache=use_z_cache)
 
     def run_eval(st):
         return cx_engine.eval_model(
             eval_step, st.params, features_val, val_arrays, batch_size,
             pairwise=args.pairwise, pairwise_eval_step=eval_step,
             rng=np.random.default_rng(123), mesh=mesh, q_table=q_val,
-            v_table=v_val)
+            v_table=v_val, z_table=z_val)
 
     # ---- train loop (reference :293-371) ----
     print("=> Starting training...")
@@ -389,7 +420,7 @@ def main(argv=None):
                 pairwise=args.pairwise, rng=rng, log_fn=log_fn,
                 print_freq=args.print_freq,
                 eval_fn=run_eval, eval_freq=args.eval_freq, mesh=mesh,
-                q_table=q_train, v_table=v_train)
+                q_table=q_train, v_table=v_train, z_table=z_train)
         else:
             eval_results = run_eval(state)
         for k, v in eval_results.items():
@@ -418,11 +449,14 @@ def main(argv=None):
         q_test = (cx_engine.precompute_q_emb(cx_model, state.params,
                                              test_arrays.question_wids)
                   if use_q_cache else None)
+        z_test = (cx_engine.precompute_z_emb(
+            cx_model, state.params, features_val, test_arrays.image_idxs,
+            q_test, v_table=v_val) if use_z_cache else None)
         test_results = cx_engine.eval_model(
             eval_step, state.params, features_val, test_arrays, batch_size,
             pairwise=args.pairwise, pairwise_eval_step=eval_step,
             rng=np.random.default_rng(123), mesh=mesh, q_table=q_test,
-            v_table=v_val)
+            v_table=v_val, z_table=z_test)
         test_results = {k: float(v) for k, v in test_results.items()}
         test_results["best_epoch"] = best_epoch
         with open(os.path.join(save_dir, "final_results.txt"), "w") as f:

@@ -157,15 +157,71 @@ def precompute_v_proj(model, params, features, batch_size: int = 8192):
     return jnp.concatenate(outs, axis=0)
 
 
-def cache_kwargs(batch, q_table, v_table) -> dict:
-    """Model kwargs for the frozen-backbone caches: ``q_table`` rows are per
-    example (``batch['example_idxs']``), ``v_table`` rows per image
-    (``batch['image_idxs']``)."""
+def precompute_z_emb(model, params, features, image_idxs, q_table,
+                     v_table=None, batch_size: int = 2048):
+    """Fuse every (example, candidate) pair through the frozen backbone once.
+
+    The q_emb/v_proj caching logic taken to its conclusion: with the VQA
+    backbone frozen, the whole MUTAN fusion output ``z`` is a training
+    constant per (question, image) pair, so the per-step fusion — the
+    (B*(K+1), R, dim_mm) v_proj gather plus the rank multiply-sum, together
+    ~15% of the B=512 device step (xplane 2026-08-18) — collapses to one
+    (B, K+1, dim_mm) row gather.  Returns an (n_examples, K+1, dim_mm)
+    device array aligned with example order (gathered by
+    ``batch['example_idxs']``); activations are bitwise what the in-step
+    fusion would produce (tests/test_z_cache.py).
+
+    Scale note: at VQA2-CX train scale (~215k examples x 25 x 360) the
+    table is ~7.7 GB f32 / 3.9 GB bf16 — device-resident next to the
+    680 MB feature matrix on a 16 GB chip, bf16 recommended (the bench
+    stores it bf16 under the policy like the other tables).
+
+    ``image_idxs``: (N, K+1) int array (``CXArrays.image_idxs``).
+    ``v_table``: optional precomputed v-projections to build from (faster);
+    otherwise the fusion v-side runs here once per pair.
+    """
+    idxs = np.asarray(image_idxs)
+    n = idxs.shape[0]
+    chunk = min(batch_size, n)
+
+    # params as an argument, not a closure (see precompute_q_emb)
+    @jax.jit
+    def fuse(params, image_feats, q_rows, v_rows):
+        return model.apply(
+            {"params": params}, image_feats, q_rows,
+            method=lambda m, v, q: m.vqa_model.fuse_candidates(
+                v, q, True, v_proj=v_rows))
+
+    outs = []
+    for i in range(0, n, chunk):
+        block = idxs[i:i + chunk]
+        q_rows = q_table[i:i + chunk]
+        n_valid = block.shape[0]
+        if n_valid < chunk:  # pad to a single compiled shape
+            pad = chunk - n_valid
+            block = np.concatenate([block, np.zeros((pad, block.shape[1]),
+                                                    block.dtype)], axis=0)
+            q_rows = jnp.concatenate(
+                [q_rows, jnp.zeros((pad, q_rows.shape[1]), q_rows.dtype)],
+                axis=0)
+        image_feats = jnp.take(features, jnp.asarray(block), axis=0)
+        v_rows = (jnp.take(v_table, jnp.asarray(block), axis=0)
+                  if v_table is not None else None)
+        outs.append(fuse(params, image_feats, q_rows, v_rows)[:n_valid])
+    return jnp.concatenate(outs, axis=0)
+
+
+def cache_kwargs(batch, q_table, v_table, z_table=None) -> dict:
+    """Model kwargs for the frozen-backbone caches: ``q_table``/``z_table``
+    rows are per example (``batch['example_idxs']``), ``v_table`` rows per
+    image (``batch['image_idxs']``)."""
     kw = {}
     if q_table is not None:
         kw["q_emb"] = jnp.take(q_table, batch["example_idxs"], axis=0)
     if v_table is not None:
         kw["v_proj"] = jnp.take(v_table, batch["image_idxs"], axis=0)
+    if z_table is not None:
+        kw["z_emb"] = jnp.take(z_table, batch["example_idxs"], axis=0)
     return kw
 
 
@@ -173,7 +229,8 @@ def make_cx_train_step(model, optimizer, *, recall_k: int = 5,
                        base_seed: int = 42,
                        extra_apply_args: tuple = (),
                        use_q_cache: bool = False,
-                       use_v_cache: bool = False) -> Callable:
+                       use_v_cache: bool = False,
+                       use_z_cache: bool = False) -> Callable:
     """Returns jitted ``train_step(state, features, batch, n_valid)``.
 
     ``batch`` holds int32 arrays (image_idxs (B,K+1), question_wids (B,T),
@@ -184,56 +241,65 @@ def make_cx_train_step(model, optimizer, *, recall_k: int = 5,
     With ``use_q_cache=True`` the step takes a trailing ``q_table`` argument
     (from :func:`precompute_q_emb`) and the model skips its question encoder;
     with ``use_v_cache=True`` it takes a further ``v_table`` argument (from
-    :func:`precompute_v_proj`) and the model skips the fusion v-side GEMMs.
-    Either cache is only valid when the VQA backbone is frozen.
+    :func:`precompute_v_proj`) and the model skips the fusion v-side GEMMs;
+    with ``use_z_cache=True`` a further ``z_table`` (from
+    :func:`precompute_z_emb`) replaces the in-step fusion entirely.
+    Any cache is only valid when the VQA backbone is frozen.
     """
     body = _make_cx_step_body(model, optimizer, recall_k=recall_k,
                               base_seed=base_seed,
                               extra_apply_args=extra_apply_args,
                               use_q_cache=use_q_cache,
-                              use_v_cache=use_v_cache)
+                              use_v_cache=use_v_cache,
+                              use_z_cache=use_z_cache)
 
     # donate the state: params/opt-state buffers are reused in place, halving
     # the step's HBM allocation traffic; the frozen subtree (vqa_model with
     # trainable_vqa=False) is outside the grad/Adam path entirely and aliases
     # straight through the donated buffer
-    # jit the full 6-arg signature (in_shardings must match the positional
+    # jit the full 7-arg signature (in_shardings must match the positional
     # arity exactly, so the optional cache tables are normalized to explicit
     # Nones in the thin wrapper below)
     @functools.partial(jax.jit, donate_argnums=(0,),
-                       **policy.auto_layout_jit_kwargs(5))
+                       **policy.auto_layout_jit_kwargs(6))
     def _step(state: CXTrainState, features, batch, n_valid,
-              q_table, v_table):
-        return body(state, features, batch, n_valid, q_table, v_table)
+              q_table, v_table, z_table):
+        return body(state, features, batch, n_valid, q_table, v_table,
+                    z_table)
 
     def train_step(state: CXTrainState, features, batch, n_valid,
-                   q_table=None, v_table=None):
-        return _step(state, features, batch, n_valid, q_table, v_table)
+                   q_table=None, v_table=None, z_table=None):
+        return _step(state, features, batch, n_valid, q_table, v_table,
+                     z_table)
 
     train_step.lower = (
-        lambda state, features, batch, n_valid, q_table=None, v_table=None:
-        _step.lower(state, features, batch, n_valid, q_table, v_table))
+        lambda state, features, batch, n_valid, q_table=None, v_table=None,
+        z_table=None:
+        _step.lower(state, features, batch, n_valid, q_table, v_table,
+                    z_table))
     return train_step
 
 
 def _make_cx_step_body(model, optimizer, *, recall_k: int, base_seed: int,
                        extra_apply_args: tuple, use_q_cache: bool,
-                       use_v_cache: bool) -> Callable:
+                       use_v_cache: bool,
+                       use_z_cache: bool = False) -> Callable:
     """Traceable (un-jitted) single train step shared by the per-step and
     scanned trainers."""
     root = rng_lib.root_key(base_seed)
     frozen_keys = frozen_param_keys(model)
-    if ((use_q_cache or use_v_cache)
+    if ((use_q_cache or use_v_cache or use_z_cache)
             and getattr(model, "trainable_vqa", False)):
-        raise ValueError("q_emb/v_proj caches require a frozen VQA backbone")
+        raise ValueError(
+            "q_emb/v_proj/z_emb caches require a frozen VQA backbone")
 
     def step_body(state: CXTrainState, features, batch, n_valid,
-                  q_table, v_table):
+                  q_table, v_table, z_table=None):
         keys = rng_lib.step_keys(root, state.step, ("dropout", "lesion"))
         batch_size = batch["comp_idxs"].shape[0]
         mask = jnp.arange(batch_size) < n_valid
         trainable, frozen = split_params(state.params, frozen_keys)
-        q_kw = cache_kwargs(batch, q_table, v_table)
+        q_kw = cache_kwargs(batch, q_table, v_table, z_table)
 
         def loss_fn(trainable):
             params = {**trainable, **frozen}
@@ -267,9 +333,10 @@ def make_cx_train_scan(model, optimizer, *, recall_k: int = 5,
                        base_seed: int = 42,
                        extra_apply_args: tuple = (),
                        use_q_cache: bool = False,
-                       use_v_cache: bool = False) -> Callable:
+                       use_v_cache: bool = False,
+                       use_z_cache: bool = False) -> Callable:
     """Multi-step trainer: ``train_scan(state, features, batches, n_valids
-    [, q_table[, v_table]])`` runs S train steps in ONE dispatch.
+    [, q_table[, v_table[, z_table]]])`` runs S train steps in ONE dispatch.
 
     ``batches`` is the per-step batch dict with a leading step axis S on
     every array; ``n_valids`` is (S,) f32.  Numerically identical to S
@@ -292,12 +359,13 @@ def make_cx_train_scan(model, optimizer, *, recall_k: int = 5,
                               base_seed=base_seed,
                               extra_apply_args=extra_apply_args,
                               use_q_cache=use_q_cache,
-                              use_v_cache=use_v_cache)
+                              use_v_cache=use_v_cache,
+                              use_z_cache=use_z_cache)
     frozen_keys = frozen_param_keys(model)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_scan(state: CXTrainState, features, batches, n_valids,
-                   q_table=None, v_table=None):
+                   q_table=None, v_table=None, z_table=None):
         # carry only what the step actually updates: the frozen VQA subtree
         # (~150 MB at reference dims) rides as a loop-invariant operand, not
         # a scan carry — XLA copies carries it cannot alias
@@ -308,7 +376,7 @@ def make_cx_train_scan(model, optimizer, *, recall_k: int = 5,
             batch, n_valid = xs
             st = CXTrainState({**tr, **frozen}, opt_state, step)
             new_state, metrics = body(st, features, batch, n_valid,
-                                      q_table, v_table)
+                                      q_table, v_table, z_table)
             new_tr, _ = split_params(new_state.params, frozen_keys)
             return (new_tr, new_state.opt_state, new_state.step), metrics
 
@@ -329,7 +397,8 @@ def stack_batches(batches: list) -> dict:
 def make_cx_eval_step(model, *, recall_k: int = 5, base_seed: int = 123,
                       extra_apply_args: tuple = (),
                       use_q_cache: bool = False,
-                      use_v_cache: bool = False) -> Callable:
+                      use_v_cache: bool = False,
+                      use_z_cache: bool = False) -> Callable:
     """Jitted eval: summed CE loss + recall@K counts, masked for padding.
     The 'lesion' stream stays live in eval — the reference draws torch.rand
     placeholders regardless of mode (cx.py:266-307).  With
@@ -340,12 +409,12 @@ def make_cx_eval_step(model, *, recall_k: int = 5, base_seed: int = 123,
 
     @jax.jit
     def eval_step(params, features, batch, n_valid, step, q_table=None,
-                  v_table=None):
+                  v_table=None, z_table=None):
         keys = rng_lib.step_keys(root, step, ("lesion",))
         batch_size = batch["comp_idxs"].shape[0]
         mask = jnp.arange(batch_size) < n_valid
         image_features = jnp.take(features, batch["image_idxs"], axis=0)
-        q_kw = cache_kwargs(batch, q_table, v_table)
+        q_kw = cache_kwargs(batch, q_table, v_table, z_table)
         scores = model.apply(
             {"params": params}, image_features, batch["question_wids"],
             batch["answer_aids"], *extra_apply_args,
@@ -378,8 +447,10 @@ def _maybe_shard(batch, mesh):
     return shard_batch(batch, mesh)
 
 
-def _cache_extras(q_table, v_table):
-    """Positional trailing args for steps built with use_q_cache/use_v_cache."""
+def _cache_extras(q_table, v_table, z_table=None):
+    """Positional trailing args for steps built with use_{q,v,z}_cache."""
+    if z_table is not None:
+        return (q_table, v_table, z_table)
     if v_table is not None:
         return (q_table, v_table)
     if q_table is not None:
@@ -390,15 +461,16 @@ def _cache_extras(q_table, v_table):
 def eval_model(eval_step, params, features, arrays: vqacx.CXArrays,
                batch_size: int, *, pairwise: bool = False,
                pairwise_eval_step=None, rng=None, mesh=None,
-               q_table=None, v_table=None) -> dict:
+               q_table=None, v_table=None, z_table=None) -> dict:
     """Full-dataset eval (reference eval_model, counterexamples.py:450-490):
     returns {'loss', 'recall'} (+ recall@1; + pairwise metrics if requested).
     ``q_table``: precomputed encoder table for ``arrays`` (requires an
     eval_step built with use_q_cache=True); ``v_table``: precomputed fusion
-    v-projections for ``features`` (use_v_cache=True)."""
+    v-projections for ``features`` (use_v_cache=True); ``z_table``:
+    precomputed fused embeddings for ``arrays`` (use_z_cache=True)."""
     # keep dispatch asynchronous: collect device scalars, sync once at the
     # end (a per-batch float() costs a full host round-trip per batch)
-    extra = _cache_extras(q_table, v_table)
+    extra = _cache_extras(q_table, v_table, z_table)
     outs = []
     n_total = 0
     step = 0
@@ -441,7 +513,7 @@ def train_epoch(train_step, state: CXTrainState, features,
                 pairwise: bool = False, rng=None,
                 log_fn=None, print_freq: int = 100,
                 eval_fn=None, eval_freq: int = -1, mesh=None,
-                q_table=None, v_table=None):
+                q_table=None, v_table=None, z_table=None):
     """One epoch over shuffled batches (reference counterexamples.py:312-361).
 
     ``log_fn(step_in_epoch, metrics)`` fires every print_freq batches;
@@ -451,10 +523,16 @@ def train_epoch(train_step, state: CXTrainState, features,
     use_q_cache=True; valid for pairwise views too — they resample the
     candidate triple per epoch but keep row i = example i, so
     ``example_idxs`` still index the table).  ``v_table``: precomputed
-    fusion v-projections (use_v_cache=True; indexed by image)."""
+    fusion v-projections (use_v_cache=True; indexed by image).
+    ``z_table``: precomputed fused embeddings (use_z_cache=True; indexed by
+    example — NOT valid for pairwise views, which resample the candidate
+    triple per epoch)."""
     rng = rng or np.random.default_rng()
+    if pairwise and z_table is not None:
+        raise ValueError("z_table rows are per fixed candidate list; "
+                         "pairwise views resample candidates per epoch")
     view = arrays.pairwise_view(rng) if pairwise else arrays
-    extra = _cache_extras(q_table, v_table)
+    extra = _cache_extras(q_table, v_table, z_table)
     n_batches = (view.size + batch_size - 1) // batch_size
     eval_results = None
     t0 = time.time()

@@ -45,7 +45,8 @@ class RandomBaseline(nn.Module):
     @nn.compact
     def __call__(self, image_features, question_wids, answer_aids,
                  deterministic: bool = True, q_emb: jax.Array = None,
-                 v_proj: jax.Array = None):
+                 v_proj: jax.Array = None,
+                 z_emb: jax.Array = None):
         batch = image_features.shape[0]
         return _uniform(self, (batch, self.knn_size))
 
@@ -57,7 +58,8 @@ class DistanceBaseline(nn.Module):
     @nn.compact
     def __call__(self, image_features, question_wids, answer_aids,
                  deterministic: bool = True, q_emb: jax.Array = None,
-                 v_proj: jax.Array = None):
+                 v_proj: jax.Array = None,
+                 z_emb: jax.Array = None):
         batch = image_features.shape[0]
         row = jnp.arange(self.knn_size - 1, -1, -1, dtype=jnp.float32)
         return jnp.broadcast_to(row[None, :], (batch, self.knn_size))
@@ -72,7 +74,8 @@ class CXModelBase(nn.Module):
 
     def vqa_forward(self, image_features: jax.Array, question_wids: jax.Array,
                     deterministic: bool = True, q_emb: jax.Array = None,
-                    v_proj: jax.Array = None):
+                    v_proj: jax.Array = None,
+                 z_emb: jax.Array = None):
         # K+1 comes from the input shape (the reference asserts it equals
         # knn_size+1, cx.py:65, and mutates knn_size for pairwise eval —
         # shape-derived K serves both without mutation).
@@ -81,6 +84,8 @@ class CXModelBase(nn.Module):
         # frozen VQA runs in eval mode (no dropout) regardless of CX training
         # (reference cx.py:59-60,78); trainable VQA follows the CX mode.
         vqa_det = True if not self.trainable_vqa else deterministic
+        assert z_emb is None or not self.trainable_vqa, \
+            "z_emb cache requires a frozen VQA backbone"
 
         v_emb = image_features.reshape(batch * k1, -1)
         # With a frozen VQA backbone the encoder output is deterministic per
@@ -94,7 +99,16 @@ class CXModelBase(nn.Module):
             q_emb = jax.lax.stop_gradient(q_emb)
 
         fuse_candidates = getattr(self.vqa_model, "fuse_candidates", None)
-        if fuse_candidates is not None:
+        if z_emb is not None:
+            # precomputed fused embeddings per (example, candidate)
+            # (engines/cx_engine.precompute_z_emb) — the caching logic of
+            # q_emb/v_proj taken to its conclusion: with a frozen backbone
+            # the whole fusion output is a training constant, so the
+            # per-step fusion (v_proj gather + rank multiply-sum) collapses
+            # to a single (B, K+1, dim_mm) row gather.  Bitwise the
+            # activations the in-step fusion would produce.
+            z = z_emb.reshape(batch * k1, -1)
+        elif fuse_candidates is not None:
             # candidate-aware fusion: the question-side projections run once
             # per example, not once per candidate (reference cx.py:83-87
             # pays them K+1 times via the q duplication).  ``v_proj``:
@@ -121,7 +135,8 @@ class CXModelBase(nn.Module):
 
     def __call__(self, image_features, question_wids, answer_aids,
                  deterministic: bool = True, q_emb: jax.Array = None,
-                 v_proj: jax.Array = None):
+                 v_proj: jax.Array = None,
+                 z_emb: jax.Array = None):
         raise NotImplementedError
 
 
@@ -132,10 +147,11 @@ class BlackBox(CXModelBase):
     @nn.compact
     def __call__(self, image_features, question_wids, answer_aids,
                  deterministic: bool = True, q_emb: jax.Array = None,
-                 v_proj: jax.Array = None):
+                 v_proj: jax.Array = None,
+                 z_emb: jax.Array = None):
         _, _, a_knns, _, _ = self.vqa_forward(image_features, question_wids,
                                               deterministic, q_emb=q_emb,
-            v_proj=v_proj)
+            v_proj=v_proj, z_emb=z_emb)
         probs = jax.nn.softmax(a_knns, axis=-1)
         aid = answer_aids[:, None, None].astype(jnp.int32)
         return -jnp.take_along_axis(probs, aid, axis=-1)[..., 0]
@@ -148,10 +164,11 @@ class LinearContext(CXModelBase):
     @nn.compact
     def __call__(self, image_features, question_wids, answer_aids,
                  deterministic: bool = True, q_emb: jax.Array = None,
-                 v_proj: jax.Array = None):
+                 v_proj: jax.Array = None,
+                 z_emb: jax.Array = None):
         _, _, _, z_knns, _ = self.vqa_forward(image_features, question_wids,
                                               deterministic, q_emb=q_emb,
-            v_proj=v_proj)
+            v_proj=v_proj, z_emb=z_emb)
         batch = z_knns.shape[0]
         return nn.Dense(self.knn_size, name="linear")(
             z_knns.reshape(batch, -1))
@@ -168,11 +185,12 @@ class SemanticBaseline(CXModelBase):
     @nn.compact
     def __call__(self, image_features, question_wids, answer_aids,
                  emb_pairs: jax.Array = None, deterministic: bool = True,
-                 q_emb: jax.Array = None, v_proj: jax.Array = None):
+                 q_emb: jax.Array = None, v_proj: jax.Array = None,
+                 z_emb: jax.Array = None):
         assert emb_pairs is not None, "pass emb_pairs (A, A) cosine matrix"
         _, _, a_knns, _, _ = self.vqa_forward(image_features, question_wids,
                                               deterministic, q_emb=q_emb,
-            v_proj=v_proj)
+            v_proj=v_proj, z_emb=z_emb)
         nb = jax.nn.softmax(a_knns, axis=-1)                   # (B, K, A)
         sim_rows = emb_pairs[answer_aids.astype(jnp.int32)]    # (B, A)
         weighted_sim = jnp.einsum("ba,bka->bk", sim_rows, nb)
@@ -205,7 +223,8 @@ class NeuralModel(CXModelBase):
     @nn.compact
     def __call__(self, image_features, question_wids, answer_aids,
                  deterministic: bool = True, q_emb: jax.Array = None,
-                 v_proj: jax.Array = None):
+                 v_proj: jax.Array = None,
+                 z_emb: jax.Array = None):
         spec = self.model_spec
         batch, k1, _ = image_features.shape
         K = self.knn_size
@@ -219,8 +238,10 @@ class NeuralModel(CXModelBase):
         if not spec["v_emb"]:
             image_features = _uniform(self, (batch, K + 1, dim_v))
             # lesioned features are redrawn per forward — the per-image
-            # fusion-projection cache no longer describes them
+            # fusion-projection / per-example fused-embedding caches no
+            # longer describe them
             v_proj = None
+            z_emb = None
         v_orig = image_features[:, 0]
         v_knns = image_features[:, 1:]
 
@@ -230,7 +251,7 @@ class NeuralModel(CXModelBase):
             # with a_emb=True and both false — we additionally run it then)
             _, z_orig, a_knns, z_knns, q_emb = self.vqa_forward(
                 image_features, question_wids, deterministic, q_emb=q_emb,
-            v_proj=v_proj)
+            v_proj=v_proj, z_emb=z_emb)
             if not spec["q_emb"] and not spec["z_emb"]:
                 q_emb = _uniform(self, (batch, dim_q))
                 z_orig = _uniform(self, (batch, dim_z))
@@ -321,7 +342,8 @@ class PairwiseModel(CXModelBase):
     @nn.compact
     def __call__(self, image_features, question_wids, answer_aids,
                  deterministic: bool = True, q_emb: jax.Array = None,
-                 v_proj: jax.Array = None):
+                 v_proj: jax.Array = None,
+                 z_emb: jax.Array = None):
         batch, k1, dim_v = image_features.shape
         K = k1 - 1
         v_orig = image_features[:, 0]
@@ -329,7 +351,7 @@ class PairwiseModel(CXModelBase):
 
         _, _, _, z_knns, q_emb = self.vqa_forward(
             image_features, question_wids, deterministic, q_emb=q_emb,
-            v_proj=v_proj)
+            v_proj=v_proj, z_emb=z_emb)
         z_knns = jax.lax.stop_gradient(z_knns)  # reference cx.py:359
 
         dim_h = 300
@@ -353,7 +375,8 @@ class PairwiseLinearModel(CXModelBase):
     @nn.compact
     def __call__(self, image_features, question_wids, answer_aids,
                  deterministic: bool = True, q_emb: jax.Array = None,
-                 v_proj: jax.Array = None):
+                 v_proj: jax.Array = None,
+                 z_emb: jax.Array = None):
         batch, k1, _ = image_features.shape
         K = k1 - 1
         v_orig = image_features[:, 0]
@@ -361,7 +384,7 @@ class PairwiseLinearModel(CXModelBase):
 
         _, z_orig, _, z_knns, q_emb = self.vqa_forward(
             image_features, question_wids, deterministic, q_emb=q_emb,
-            v_proj=v_proj)
+            v_proj=v_proj, z_emb=z_emb)
 
         a_emb = nn.Embed(len(self.vqa_model.vocab_answers), self.dim_a,
                          name="answer_embedding")(
@@ -385,11 +408,12 @@ class ContrastiveModel(CXModelBase):
     @nn.compact
     def __call__(self, image_features, question_wids, answer_aids,
                  deterministic: bool = True, q_emb: jax.Array = None,
-                 v_proj: jax.Array = None):
+                 v_proj: jax.Array = None,
+                 z_emb: jax.Array = None):
         batch, k1, _ = image_features.shape
         _, z_orig, _, z_knns, _ = self.vqa_forward(
             image_features, question_wids, deterministic, q_emb=q_emb,
-            v_proj=v_proj)
+            v_proj=v_proj, z_emb=z_emb)
         z_all = jnp.concatenate([z_orig[:, None, :], z_knns], axis=1)
         x = jnp.concatenate([image_features, z_all], axis=-1)
         return jax.nn.relu(nn.Dense(self.dim_h, name="linear")(x))
@@ -408,10 +432,11 @@ class SimilarityModel(CXModelBase):
     @nn.compact
     def __call__(self, image_features, question_wids, answer_aids,
                  deterministic: bool = True, q_emb: jax.Array = None,
-                 v_proj: jax.Array = None):
+                 v_proj: jax.Array = None,
+                 z_emb: jax.Array = None):
         _, z_orig, a_knns, z_knns, _ = self.vqa_forward(
             image_features, question_wids, deterministic, q_emb=q_emb,
-            v_proj=v_proj)
+            v_proj=v_proj, z_emb=z_emb)
         v_orig = image_features[:, 0]
         v_knns = image_features[:, 1:]
         v_cos = cosine_similarity(v_orig[:, None, :], v_knns)
