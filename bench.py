@@ -30,7 +30,11 @@ core/policy.auto_layout_jit_kwargs, VQACX_AUTO_LAYOUT=0 reverts)
 the per-(example, candidate) fused-embedding z cache
 (cx_engine.precompute_z_emb, VQACX_BENCH_ZCACHE=0 reverts): with the
 backbone frozen the whole fusion output is a training constant, so the
-per-step v_proj gather + rank multiply-sum collapses to one row gather.  B=512 programs previously failed with transient
+per-step v_proj gather + rank multiply-sum collapses to one row gather
+-> **161.3k (107.6x, MFU 0.23)** slicing z before the frozen classifier
+so only the K candidate rows hit the 2000-wide answer head (no caller
+consumes the original image's logits; the post-classify slice cost
+~0.36 ms/step of relayout copies).  B=512 programs previously failed with transient
 'UNAVAILABLE: TPU device error' on most attempts (2026-08-16: 1/7, a
 failed program wedged the chip for minutes) so B=384 was the default;
 with the AUTO-layout program it ran 3/3 clean and is now the default —
@@ -192,7 +196,9 @@ def main():
         if v_table is not None:
             v_table = v_table.astype(jnp.bfloat16)
         if z_table is not None:
-            z_table = z_table.astype(jnp.bfloat16)
+            # the cast may re-tile; re-pin row-major (uncommitted) so the
+            # step's gather doesn't relayout the whole table every step
+            z_table = cx_engine.as_row_major(z_table.astype(jnp.bfloat16))
     extra = cx_engine._cache_extras(q_table, v_table, z_table)
     q_build_s = time.time() - t0
 

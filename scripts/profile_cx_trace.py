@@ -59,26 +59,37 @@ def main():
     state = cx_engine.init_cx_state(
         model, optimizer, vqacx.gather_batch(arrays, np.arange(args.batch)),
         features)
+    use_z = os.environ.get("VQACX_BENCH_ZCACHE", "1") == "1"
     train_step = cx_engine.make_cx_train_step(model, optimizer,
                                               use_q_cache=True,
-                                              use_v_cache=True)
+                                              use_v_cache=True,
+                                              use_z_cache=use_z)
     q_table = cx_engine.precompute_q_emb(model, state.params,
                                          arrays.question_wids,
                                          batch_size=2048)
     v_table = cx_engine.precompute_v_proj(model, state.params, features)
+    z_table = None
+    if use_z:  # mirrors bench.py: z subsumes v in the step
+        z_table = cx_engine.precompute_z_emb(model, state.params, features,
+                                             arrays.image_idxs, q_table,
+                                             v_table=v_table)
+        z_table = cx_engine.as_row_major(z_table.astype(jnp.bfloat16))
+        v_table = None
     features = features.astype(jnp.bfloat16)
     q_table = q_table.astype(jnp.bfloat16)
-    v_table = v_table.astype(jnp.bfloat16)
+    if v_table is not None:
+        v_table = v_table.astype(jnp.bfloat16)
     batch = vqacx.gather_batch(arrays, np.arange(args.batch))
     nv = jnp.asarray(float(args.batch), jnp.float32)
 
-    state, _ = train_step(state, features, batch, nv, q_table, v_table)
+    state, _ = train_step(state, features, batch, nv, q_table, v_table,
+                          z_table)
     jax.block_until_ready(state.params)
 
     with jax.profiler.trace(args.trace_dir):
         for _ in range(args.steps):
             state, m = train_step(state, features, batch, nv, q_table,
-                                  v_table)
+                                  v_table, z_table)
         jax.block_until_ready(state.params)
 
     subprocess.run([sys.executable,

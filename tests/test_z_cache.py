@@ -142,6 +142,27 @@ def test_v_emb_lesion_bypasses_z_cache():
         assert r_plain[key] == pytest.approx(r_cache[key], abs=1e-5), key
 
 
+def test_z_table_uncommitted():
+    # jax rejects *committed* arrays passed under Layout.AUTO jit args, and
+    # committedness is viral: one committed operand commits every output of
+    # the AUTO-layout train step, so its donated state errors on re-entry
+    # ("argument passed is a `jax.Array` with a concrete layout").  The
+    # table must therefore come back row-major but UNCOMMITTED, and
+    # as_row_major must uncommit an already-committed table.
+    # (fresh setup: the shared fixture's state gets donated by the
+    # training test above)
+    model, optimizer, state, features, arrays = _setup()
+    q_table, v_table, z_table = _tables(model, state, features, arrays)
+    assert not z_table.committed
+
+    committed = jax.device_put(
+        z_table, jax.sharding.SingleDeviceSharding(jax.devices()[0]))
+    assert committed.committed
+    fixed = cx_engine.as_row_major(committed)
+    assert not fixed.committed
+    np.testing.assert_array_equal(np.asarray(fixed), np.asarray(z_table))
+
+
 def test_z_cache_rejects_trainable_vqa(setup):
     model, optimizer, *_ = setup
     trainable = model.clone(trainable_vqa=True)

@@ -208,7 +208,36 @@ def precompute_z_emb(model, params, features, image_idxs, q_table,
         v_rows = (jnp.take(v_table, jnp.asarray(block), axis=0)
                   if v_table is not None else None)
         outs.append(fuse(params, image_feats, q_rows, v_rows)[:n_valid])
-    return jnp.concatenate(outs, axis=0)
+    return as_row_major(jnp.concatenate(outs, axis=0))
+
+
+def as_row_major(arr):
+    """Return ``arr`` in the default row-major layout, **uncommitted**.
+
+    The fusion einsum that builds the z table leaves its output
+    {0,2,1}-tiled on TPU while the train step's gather consumer wants
+    row-major — XLA then relayouts the ENTIRE table every step (xplane: a
+    (N, K+1, dim_mm) copy at 0.08 ms/step for N=2048, and it scales with
+    N).  Pinning the layout with an explicit ``Format`` device_put would
+    fix that but *commits* the array — and one committed operand poisons
+    every output of the AUTO-layout train step (outputs of a computation
+    with a committed input are committed), which ``jax.jit`` rejects on
+    re-entry under ``Layout.AUTO`` ("argument passed is a `jax.Array` with
+    a concrete layout").  A host round-trip yields the default row-major
+    layout on an uncommitted array: one-time cost at cache-build time.
+    Callers that cast the table afterwards should re-apply this (the cast
+    is free to pick a tiled layout again).
+    """
+    try:
+        m2m = arr.format.layout.major_to_minor
+        row_major = tuple(m2m) == tuple(range(arr.ndim))
+    except Exception:  # backends without layout introspection
+        row_major = True
+    if row_major and not getattr(arr, "committed", False):
+        return arr
+    import numpy as np
+
+    return jax.device_put(np.asarray(arr))
 
 
 def cache_kwargs(batch, q_table, v_table, z_table=None) -> dict:

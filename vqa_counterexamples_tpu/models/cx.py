@@ -123,15 +123,23 @@ class CXModelBase(nn.Module):
                                      (batch, k1, q_emb.shape[-1]))
             q_dup = q_dup.reshape(batch * k1, -1)
             z = self.vqa_model.fuse(v_emb, q_dup, vqa_det)
-        a = self.vqa_model.classify(z, vqa_det)
-
-        a = a.reshape(batch, k1, -1)
         z = z.reshape(batch, k1, -1)
         if not self.trainable_vqa:
-            a = jax.lax.stop_gradient(a)
             z = jax.lax.stop_gradient(z)
+        z_orig, z_knns = z[:, 0], z[:, 1:]
 
-        return a[:, 0], z[:, 0], a[:, 1:], z[:, 1:], q_emb
+        # classify only the K candidate rows: no caller consumes the
+        # original image's answer logits (the first return is always `_`),
+        # and slicing the 360-wide z before the 2000-wide classifier
+        # deletes the (B, K+1, ans) reshape/slice relayout copies the
+        # trace showed at ~0.36 ms/step (B=512) when the slice came after
+        a_knns = self.vqa_model.classify(
+            z_knns.reshape(batch * (k1 - 1), -1), vqa_det)
+        a_knns = a_knns.reshape(batch, k1 - 1, -1)
+        if not self.trainable_vqa:
+            a_knns = jax.lax.stop_gradient(a_knns)
+
+        return None, z_orig, a_knns, z_knns, q_emb
 
     def __call__(self, image_features, question_wids, answer_aids,
                  deterministic: bool = True, q_emb: jax.Array = None,

@@ -111,15 +111,22 @@ def first_layer_decomposed(w1: jax.Array, b1: jax.Array,
         probs, table = a_emb_knns_factored
         pt, pe, pw = cast_in(probs, table, wslice("a_emb_other"))
         ew = jnp.dot(pe, pw, preferred_element_type=jnp.float32)  # (A, H)
-        h_aemb = jnp.einsum("bka,ah->bkh", pt, ew.astype(pt.dtype),
-                            preferred_element_type=jnp.float32)
+        # flat (B*K, A) x (A, H) instead of the bka,ah->bkh einsum: the
+        # batched form relayouted the (B, K, A) probs {2,1,0}->{0,2,1}
+        # before contracting (0.16 ms/step at B=512, A=2000)
+        Bp, Kp = pt.shape[:2]
+        h_aemb = jnp.dot(
+            pt.reshape(Bp * Kp, -1), ew.astype(pt.dtype),
+            preferred_element_type=jnp.float32).reshape(Bp, Kp, -1)
     else:
         cand_names.append("a_emb_other")
         cand_feats.append(a_emb_knns)
     # one dot per feature block, summed: concat([x1,x2,x3]) @ concat(W) ==
     # sum_i x_i @ W_i, but without materializing the (B*K, 6856) concat in
     # HBM (~170 MB/step at reference dims) — the blocks are read where they
-    # already live
+    # already live.  (Pre-flattening these to (B*K, D) 2-D dots measured
+    # neutral — 160.2k vs 161.3k same-session at B=512 — XLA already
+    # flattens the batched contraction.)
     h_cand = h_aemb
     for name, feat in zip(cand_names, cand_feats):
         xc, wc = cast_in(feat, wslice(name))
