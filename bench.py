@@ -34,7 +34,12 @@ per-step v_proj gather + rank multiply-sum collapses to one row gather
 -> **161.3k (107.6x, MFU 0.23)** slicing z before the frozen classifier
 so only the K candidate rows hit the 2000-wide answer head (no caller
 consumes the original image's logits; the post-classify slice cost
-~0.36 ms/step of relayout copies).  B=512 programs previously failed with transient
+~0.36 ms/step of relayout copies)
+-> **172.7k (115.1x, MFU 0.25)** folding the answer softmax around the
+mixture GEMM under the bf16 policy (softmax(a) @ M == (exp(a-max) @ M) /
+sum, ops/scorer.py): the normalized (B*K, 2000) probs matrix never
+exists in HBM — the trace showed its f32 relayout + divide + relayout
+chain at ~0.37 ms/step (155.2k same-session control).  B=512 programs previously failed with transient
 'UNAVAILABLE: TPU device error' on most attempts (2026-08-16: 1/7, a
 failed program wedged the chip for minutes) so B=384 was the default;
 with the AUTO-layout program it ran 3/3 clean and is now the default —

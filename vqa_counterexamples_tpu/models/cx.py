@@ -286,10 +286,10 @@ class NeuralModel(CXModelBase):
                                preferred_element_type=jnp.float32)
             # soft mixture of answer embeddings (reference bmm, cx.py:279-282)
             # — consumed only by the scorer's first layer, so it is passed in
-            # factored (probs, table) form and re-associated there
-            # (ops/scorer.py first_layer_decomposed)
-            a_probs = jax.nn.softmax(a_knns, axis=-1)
-            a_emb_factored = (a_probs, answer_embedding)
+            # factored (logits, table) form; the softmax happens inside the
+            # re-associated contraction (ops/scorer.py first_layer_decomposed,
+            # folded around the GEMM under the bf16 policy)
+            a_emb_factored = (a_knns, answer_embedding)
         else:
             a_emb_gt = _uniform(self, (batch, self.dim_a))
             a_emb_knns = _uniform(self, (batch, K, self.dim_a))

@@ -79,13 +79,21 @@ def first_layer_decomposed(w1: jax.Array, b1: jax.Array,
     v_rank (B,K,K); q_emb (B,Dq); z_orig (B,Dz); z_knns (B,K,Dz);
     a_emb_gt (B,Da); a_emb_knns (B,K,Da).  Returns (B, K, H).
 
-    ``a_emb_knns_factored=(probs (B,K,A), table (A,Da))`` supplies the soft
+    ``a_emb_knns_factored=(logits (B,K,A), table (A,Da))`` supplies the soft
     answer-embedding mixture (cx.py:279-282) in factored form: its only
-    consumer is this layer, so ``(P @ E) @ W_a`` is re-associated as
-    ``P @ (E @ W_a)`` — the (A,Da)x(Da,H) product is tiny and the big GEMM
-    shrinks from Da=2400 to H columns (~8x fewer FLOPs at reference dims,
-    and the backward into E drops from a (A,B*K)x(B*K,Da) GEMM to
-    (A,H)x(H,Da)).  Same math, different rounding order.
+    consumer is this layer, so ``(softmax(a) @ E) @ W_a`` is re-associated
+    as ``softmax(a) @ (E @ W_a)`` — the (A,Da)x(Da,H) product is tiny and
+    the big GEMM shrinks from Da=2400 to H columns (~8x fewer FLOPs at
+    reference dims, and the backward into E drops from a (A,B*K)x(B*K,Da)
+    GEMM to (A,H)x(H,Da)).  Same math, different rounding order.
+
+    Under the bf16 compute policy the softmax itself is folded around the
+    GEMM: ``softmax(x) @ M == (exp(x - max) @ M) / sum(exp(x - max))`` —
+    the normalized (B*K, A) probs matrix never exists in HBM and the
+    division happens on the (B*K, H) output instead (the f32 softmax chain
+    cost ~0.37 ms/step at B=512/A=2000: a relayout-to-f32 copy of the
+    logits, the divide pass, and a relayout back).  The f32 policy keeps
+    the exact reference rounding (softmax then dot).
     """
     offs = slices.offsets()
 
@@ -108,16 +116,28 @@ def first_layer_decomposed(w1: jax.Array, b1: jax.Array,
     cand_feats = [v_knns, v_mult, z_knns]
     h_aemb = 0.0
     if a_emb_knns_factored is not None:
-        probs, table = a_emb_knns_factored
-        pt, pe, pw = cast_in(probs, table, wslice("a_emb_other"))
+        logits, table = a_emb_knns_factored
+        lt, pe, pw = cast_in(logits, table, wslice("a_emb_other"))
         ew = jnp.dot(pe, pw, preferred_element_type=jnp.float32)  # (A, H)
         # flat (B*K, A) x (A, H) instead of the bka,ah->bkh einsum: the
         # batched form relayouted the (B, K, A) probs {2,1,0}->{0,2,1}
         # before contracting (0.16 ms/step at B=512, A=2000)
-        Bp, Kp = pt.shape[:2]
-        h_aemb = jnp.dot(
-            pt.reshape(Bp * Kp, -1), ew.astype(pt.dtype),
-            preferred_element_type=jnp.float32).reshape(Bp, Kp, -1)
+        Bp, Kp = logits.shape[:2]
+        if lt.dtype == jnp.bfloat16:
+            # bf16 policy: softmax folded around the GEMM (see docstring);
+            # exp in bf16, the normalizer accumulated f32, division on the
+            # H-wide output
+            m = jnp.max(lt, axis=-1, keepdims=True)
+            u = jnp.exp(lt - m)
+            s = jnp.sum(u, axis=-1, keepdims=True, dtype=jnp.float32)
+            uh = jnp.dot(u.reshape(Bp * Kp, -1), ew.astype(u.dtype),
+                         preferred_element_type=jnp.float32)
+            h_aemb = (uh / s.reshape(Bp * Kp, 1)).reshape(Bp, Kp, -1)
+        else:
+            probs = jax.nn.softmax(lt, axis=-1)
+            h_aemb = jnp.dot(
+                probs.reshape(Bp * Kp, -1), ew.astype(probs.dtype),
+                preferred_element_type=jnp.float32).reshape(Bp, Kp, -1)
     else:
         cand_names.append("a_emb_other")
         cand_feats.append(a_emb_knns)
