@@ -39,7 +39,13 @@ consumes the original image's logits; the post-classify slice cost
 mixture GEMM under the bf16 policy (softmax(a) @ M == (exp(a-max) @ M) /
 sum, ops/scorer.py): the normalized (B*K, 2000) probs matrix never
 exists in HBM — the trace showed its f32 relayout + divide + relayout
-chain at ~0.37 ms/step (155.2k same-session control).  B=512 programs previously failed with transient
+chain at ~0.37 ms/step (155.2k same-session control)
+-> **184.6k (123.1x, MFU 0.27)** with bf16-resident scorer activations
+(core/policy.pdot: f32 accumulation inside each GEMM, output rounded to
+the policy dtype): the (B*K, H) tensors between first layer, tail, and
+their backward transposes halve their HBM traffic, and the tail GEMMs —
+previously f32 regardless of policy — move to the MXU bf16 path.
+B=512 programs previously failed with transient
 'UNAVAILABLE: TPU device error' on most attempts (2026-08-16: 1/7, a
 failed program wedged the chip for minutes) so B=384 was the default;
 with the AUTO-layout program it ran 3/3 clean and is now the default —

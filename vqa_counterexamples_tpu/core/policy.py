@@ -52,6 +52,24 @@ def cast_in(*arrays):
     return out if len(out) > 1 else out[0]
 
 
+def pdot(x, w):
+    """Policy dot: operands in the policy dtype, f32 MXU accumulation, and
+    the *output* rounded back to the policy dtype.
+
+    Under f32 this is exactly ``jnp.dot(x, w, preferred_element_type=f32)``
+    (reference numerics).  Under bf16 it makes the activations between
+    layers bf16-resident: the (B*K, H) tensors the scorer passes from GEMM
+    to GEMM halve their HBM read/write traffic, and — because cotangent
+    dtype follows the primal — the backward's transpose GEMMs get bf16
+    cotangents for free.  Accumulation stays f32 inside the MXU; the one
+    rounding per layer output is standard mixed-precision practice
+    (convergence pinned by test_debug_policy).
+    """
+    xc, wc = cast_in(x, w)
+    return jnp.dot(xc, wc,
+                   preferred_element_type=jnp.float32).astype(_compute_dtype)
+
+
 def auto_layout_jit_kwargs(n_rest: int) -> dict:
     """jit kwargs that let XLA pick the donated train-state's memory layouts.
 

@@ -101,24 +101,28 @@ def first_layer_decomposed(w1: jax.Array, b1: jax.Array,
         lo, hi = offs[name]
         return w1[lo:hi]
 
-    from ..core.policy import cast_in
+    from ..core.policy import cast_in, pdot
 
     # Static-across-candidates half: one GEMM on the concatenated block.
     w_static = jnp.concatenate(
         [wslice("v_orig"), wslice("q_emb"), wslice("z_orig"),
          wslice("a_emb_gt")], axis=0)
     x_static = jnp.concatenate([v_orig, q_emb, z_orig, a_emb_gt], axis=-1)
-    xs, ws = cast_in(x_static, w_static)
-    h_static = jnp.dot(xs, ws, preferred_element_type=jnp.float32)  # (B, H)
+    h_static = pdot(x_static, w_static)  # (B, H), policy dtype
 
-    # Per-candidate half: one GEMM over the flattened (B*K) axis.
+    # Per-candidate half: one GEMM over the flattened (B*K) axis.  All the
+    # h blocks below come out of ``pdot`` in the policy dtype (f32
+    # accumulation inside the MXU, one rounding on the output), so under
+    # bf16 the (B*K, H) tensors flowing between first layer, tail, and
+    # their backward transposes are bf16-resident — half the HBM traffic
+    # of the earlier keep-everything-f32 form.
     cand_names = ["v_other", "v_mult", "z_other"]
     cand_feats = [v_knns, v_mult, z_knns]
     h_aemb = 0.0
     if a_emb_knns_factored is not None:
         logits, table = a_emb_knns_factored
-        lt, pe, pw = cast_in(logits, table, wslice("a_emb_other"))
-        ew = jnp.dot(pe, pw, preferred_element_type=jnp.float32)  # (A, H)
+        lt = cast_in(logits)
+        ew = pdot(table, wslice("a_emb_other"))  # (A, H)
         # flat (B*K, A) x (A, H) instead of the bka,ah->bkh einsum: the
         # batched form relayouted the (B, K, A) probs {2,1,0}->{0,2,1}
         # before contracting (0.16 ms/step at B=512, A=2000)
@@ -130,14 +134,13 @@ def first_layer_decomposed(w1: jax.Array, b1: jax.Array,
             m = jnp.max(lt, axis=-1, keepdims=True)
             u = jnp.exp(lt - m)
             s = jnp.sum(u, axis=-1, keepdims=True, dtype=jnp.float32)
-            uh = jnp.dot(u.reshape(Bp * Kp, -1), ew.astype(u.dtype),
-                         preferred_element_type=jnp.float32)
-            h_aemb = (uh / s.reshape(Bp * Kp, 1)).reshape(Bp, Kp, -1)
+            uh = pdot(u.reshape(Bp * Kp, -1), ew)
+            h_aemb = (uh / s.reshape(Bp * Kp, 1)).astype(uh.dtype)
+            h_aemb = h_aemb.reshape(Bp, Kp, -1)
         else:
             probs = jax.nn.softmax(lt, axis=-1)
-            h_aemb = jnp.dot(
-                probs.reshape(Bp * Kp, -1), ew.astype(probs.dtype),
-                preferred_element_type=jnp.float32).reshape(Bp, Kp, -1)
+            h_aemb = pdot(probs.reshape(Bp * Kp, -1),
+                          ew).reshape(Bp, Kp, -1)
     else:
         cand_names.append("a_emb_other")
         cand_feats.append(a_emb_knns)
@@ -149,18 +152,16 @@ def first_layer_decomposed(w1: jax.Array, b1: jax.Array,
     # flattens the batched contraction.)
     h_cand = h_aemb
     for name, feat in zip(cand_names, cand_feats):
-        xc, wc = cast_in(feat, wslice(name))
-        h_cand = h_cand + jnp.dot(xc, wc,
-                                  preferred_element_type=jnp.float32)
+        h_cand = h_cand + pdot(feat, wslice(name))
 
     # Rank one-hot: identity GEMM == per-candidate rows of W (or a dense GEMM
     # for the lesion case where v_rank is random instead of one-hot).
-    h_rank = jnp.einsum("bkr,rh->bkh", v_rank, wslice("v_rank"))
+    h_rank = cast_in(jnp.einsum("bkr,rh->bkh", v_rank, wslice("v_rank")))
 
     # Scalar distance feature: rank-1 outer product.
-    h_dist = v_dist[..., None] * wslice("v_dist")[0][None, None, :]
+    h_dist = cast_in(v_dist[..., None] * wslice("v_dist")[0][None, None, :])
 
-    return h_static[:, None, :] + h_cand + h_rank + h_dist + b1
+    return (h_static[:, None, :] + h_cand + h_rank + h_dist + cast_in(b1))
 
 
 def mlp_tail(h: jax.Array, hidden_ws, hidden_bs, w_out: jax.Array,
@@ -171,6 +172,8 @@ def mlp_tail(h: jax.Array, hidden_ws, hidden_bs, w_out: jax.Array,
     ``h`` is the pre-activation of linear_1; layers 2..n use ``hidden_ws``.
     Dropout placement matches the reference: after every ReLU (cx.py:322-326).
     """
+    from ..core.policy import cast_in, pdot
+
     def drop(x, key):
         if deterministic or drop_p == 0.0:
             return x
@@ -183,8 +186,14 @@ def mlp_tail(h: jax.Array, hidden_ws, hidden_bs, w_out: jax.Array,
 
     h = drop(jax.nn.relu(h), keys[0])
     for i, (w, b) in enumerate(zip(hidden_ws, hidden_bs)):
-        h = drop(jax.nn.relu(h @ w + b), keys[i + 1])
-    return (h @ w_out + b_out)[..., 0]
+        # pdot keeps the activations in the policy dtype between layers
+        # (and, under bf16, runs the GEMM on the MXU's bf16 path — the
+        # tail GEMMs previously ran f32 regardless of policy)
+        h = drop(jax.nn.relu(pdot(h, w) + cast_in(b)), keys[i + 1])
+    # the scalar head stays f32: the 24-way CE loss reads these scores
+    xo, wo = cast_in(h, w_out)
+    return (jnp.dot(xo, wo, preferred_element_type=jnp.float32)
+            + b_out)[..., 0]
 
 
 def naive_concat_first_layer(w1, b1, slices: FeatureSlices, **feats):
