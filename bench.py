@@ -242,6 +242,12 @@ def main():
         dt = time.time() - t0
         measured_steps = n_dispatches * scan_len
     else:
+        # (measured dead end 2026-08-18: pinning every operand in
+        # compiled.input_formats and calling the AOT executable directly —
+        # 178.1k vs 184.6k same-session.  The executable's own entry
+        # format for the z table IS the {0,2,1} it then re-tiles from
+        # every step, so pinning changes nothing in-program, and
+        # Compiled.__call__ bypasses the C++ jit dispatch fast path.)
         for i in range(N_WARMUP):
             state, m = train_step(state, features,
                                   batches[i % len(batches)], nv, *extra)
