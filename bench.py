@@ -44,8 +44,10 @@ chain at ~0.37 ms/step (155.2k same-session control)
 (core/policy.pdot: f32 accumulation inside each GEMM, output rounded to
 the policy dtype): the (B*K, H) tensors between first layer, tail, and
 their backward transposes halve their HBM traffic, and the tail GEMMs —
-previously f32 regardless of policy — move to the MXU bf16 path.
-B=512 programs previously failed with transient
+previously f32 regardless of policy — move to the MXU bf16 path
+-> **188.7k (125.8x)** with the scanned trainer at 50 steps/dispatch
+(now the default here and a CLI flag, --scan_steps; see the scan_len
+comment below).  B=512 programs previously failed with transient
 'UNAVAILABLE: TPU device error' on most attempts (2026-08-16: 1/7, a
 failed program wedged the chip for minutes) so B=384 was the default;
 with the AUTO-layout program it ran 3/3 clean and is now the default —
@@ -158,16 +160,16 @@ def main():
     # ~3.9 GB bf16 at VQA2-CX train scale — device-resident on 16 GB chips.
     use_z_cache = (os.environ.get("VQACX_BENCH_ZCACHE", "1") == "1"
                    and use_q_cache and use_v_cache)
-    # Scanned trainer (opt-in, VQACX_BENCH_SCAN=1): SCAN_LEN steps per
-    # dispatch via cx_engine.make_cx_train_scan.  Measured SLOWER here —
-    # 119.2k vs 128.8k examples/sec back-to-back (2026-08-17): the scan
-    # carries the trainable params + Adam state through the loop at
-    # ~0.17 ms/step of device-time overhead (xplane: 2.57 vs 2.40 ms/step)
-    # and the tunneled chip's per-dispatch RPC cost is not amortized the
-    # way a local runtime would.  Numerics identical to sequential steps
-    # (tests/test_cx_scan.py); kept for dispatch-latency-bound deployments.
-    scan_len = (int(os.environ.get("VQACX_BENCH_SCAN_LEN", "10"))
-                if os.environ.get("VQACX_BENCH_SCAN", "0") == "1" else 0)
+    # Scanned trainer (default on, VQACX_BENCH_SCAN=0 reverts): SCAN_LEN
+    # steps per device dispatch via cx_engine.make_cx_train_scan (CLI
+    # --scan_steps).  At the 2026-08-17 step time (2.40 ms device) the
+    # scan's param-carry overhead (~0.17 ms/step) outweighed dispatch
+    # amortization (119.2k vs 128.8k); with the step now at 2.11 ms the
+    # balance flipped: 188.7k (len=50) / 186.8k (len=10) vs 184.6k
+    # sequential, same-session 2026-08-18.  Numerics identical to
+    # sequential steps (tests/test_cx_scan.py).
+    scan_len = (int(os.environ.get("VQACX_BENCH_SCAN_LEN", "50"))
+                if os.environ.get("VQACX_BENCH_SCAN", "1") == "1" else 0)
     if scan_len:
         train_scan = cx_engine.make_cx_train_scan(model, optimizer,
                                                   use_q_cache=use_q_cache,

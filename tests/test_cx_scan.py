@@ -84,3 +84,31 @@ def test_scan_matches_sequential(use_caches):
         lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                                 rtol=2e-5, atol=2e-6),
         scan_state.params, seq_state.params)
+
+
+@pytest.mark.parametrize("use_caches", [False, True])
+def test_train_epoch_scan_matches_sequential(use_caches):
+    # the epoch driver's scan path (full groups as one dispatch + the short
+    # remainder sequentially) must reproduce the sequential epoch exactly:
+    # same shuffled batch order (same rng), same per-step fold_in keys
+    model, optimizer, state, features, arrays, extra, kwargs = _setup(
+        use_caches)
+    q_table, v_table = (extra + (None, None))[:2]
+    train_step = cx_engine.make_cx_train_step(model, optimizer, **kwargs)
+    train_scan = cx_engine.make_cx_train_scan(model, optimizer, **kwargs)
+
+    bs = 10  # 64 examples -> 7 batches: 2 scan groups of 3 + remainder 1
+    seq_state = jax.tree.map(jnp.copy, state)
+    seq_state, _ = cx_engine.train_epoch(
+        train_step, seq_state, features, arrays, bs,
+        rng=np.random.default_rng(5), q_table=q_table, v_table=v_table)
+    scan_state, _ = cx_engine.train_epoch(
+        train_step, state, features, arrays, bs,
+        rng=np.random.default_rng(5), q_table=q_table, v_table=v_table,
+        scan_step=train_scan, scan_len=3)
+
+    assert int(scan_state.step) == int(seq_state.step)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=2e-5, atol=2e-6),
+        scan_state.params, seq_state.params)
