@@ -47,7 +47,11 @@ their backward transposes halve their HBM traffic, and the tail GEMMs —
 previously f32 regardless of policy — move to the MXU bf16 path
 -> **188.7k (125.8x)** with the scanned trainer at 50 steps/dispatch
 (now the default here and a CLI flag, --scan_steps; see the scan_len
-comment below).  B=512 programs previously failed with transient
+comment below)
+-> **200.3k (133.5x, MFU 0.28) at B=768**, the new default (B=1024:
+198.9k; the old "B=768 lowers pathologically" note below predates the
+z cache, which deleted the pre-tiled v_proj gather that caused it).
+B=512 programs previously failed with transient
 'UNAVAILABLE: TPU device error' on most attempts (2026-08-16: 1/7, a
 failed program wedged the chip for minutes) so B=384 was the default;
 with the AUTO-layout program it ran 3/3 clean and is now the default —
@@ -77,7 +81,7 @@ import time
 import numpy as np
 
 REFERENCE_BASELINE_EXAMPLES_PER_SEC = 1500.0
-BATCH_SIZE = int(os.environ.get("VQACX_BENCH_BATCH", "512"))
+BATCH_SIZE = int(os.environ.get("VQACX_BENCH_BATCH", "768"))
 N_WARMUP = 3
 N_STEPS = 50
 # v5e ("TPU v5 lite") peak: 197 bf16 TFLOP/s per chip
