@@ -50,7 +50,12 @@ previously f32 regardless of policy — move to the MXU bf16 path
 comment below)
 -> **200.3k (133.5x, MFU 0.28) at B=768**, the new default (B=1024:
 198.9k; the old "B=768 lowers pathologically" note below predates the
-z cache, which deleted the pre-tiled v_proj gather that caused it).
+z cache, which deleted the pre-tiled v_proj gather that caused it)
+-> **204.2k (136.1x, MFU 0.29)** multiplying the folded softmax's output
+by a bf16 reciprocal instead of dividing by the f32 sum (u and s are
+gradient constants, so the backward d_uh = g*r feeding the d_ew
+transpose GEMM stays bf16; the f32 divide's backward materialized two
+(B*K, 300) f32 relayout copies, ~0.16 ms/step).
 B=512 programs previously failed with transient
 'UNAVAILABLE: TPU device error' on most attempts (2026-08-16: 1/7, a
 failed program wedged the chip for minutes) so B=384 was the default;

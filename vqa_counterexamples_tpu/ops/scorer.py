@@ -135,8 +135,14 @@ def first_layer_decomposed(w1: jax.Array, b1: jax.Array,
             u = jnp.exp(lt - m)
             s = jnp.sum(u, axis=-1, keepdims=True, dtype=jnp.float32)
             uh = pdot(u.reshape(Bp * Kp, -1), ew)
-            h_aemb = (uh / s.reshape(Bp * Kp, 1)).astype(uh.dtype)
-            h_aemb = h_aemb.reshape(Bp, Kp, -1)
+            # multiply by a bf16 reciprocal instead of dividing by the f32
+            # sum: u and s are gradient constants (the logits are
+            # stop-gradded), so this keeps the whole chain — including the
+            # backward d_uh = g * r feeding the d_ew transpose GEMM — in
+            # bf16 (the f32 divide's backward materialized two (B*K, H)
+            # f32 relayout copies, ~0.16 ms/step at B=768)
+            r = (1.0 / s.reshape(Bp * Kp, 1)).astype(uh.dtype)
+            h_aemb = (uh * r).reshape(Bp, Kp, -1)
         else:
             probs = jax.nn.softmax(lt, axis=-1)
             h_aemb = pdot(probs.reshape(Bp * Kp, -1),
