@@ -55,7 +55,15 @@ z cache, which deleted the pre-tiled v_proj gather that caused it)
 by a bf16 reciprocal instead of dividing by the f32 sum (u and s are
 gradient constants, so the backward d_uh = g*r feeding the d_ew
 transpose GEMM stays bf16; the f32 divide's backward materialized two
-(B*K, 300) f32 relayout copies, ~0.16 ms/step).
+(B*K, 300) f32 relayout copies, ~0.16 ms/step)
+-> **208.5k (139.0x)** with the fused Pallas classify+softmax head
+(ops/pallas/mixture_kernel.py, VQACX_FUSED_HEAD=0 reverts): the frozen
+answer head's (B*K, 2000) logits never touch HBM — the kernel emits
+softmax probs directly with W_cls VMEM-resident.  (A fuller variant that
+also folded the (A, H) mixture GEMM into the kernel measured 194.9k —
+its backward recomputed classify+exp per step; rejected.)  NOTE: the
+``mfu`` field now undercounts — XLA's cost analysis does not see the
+custom-call's ~49 GFLOP/step.
 B=512 programs previously failed with transient
 'UNAVAILABLE: TPU device error' on most attempts (2026-08-16: 1/7, a
 failed program wedged the chip for minutes) so B=384 was the default;

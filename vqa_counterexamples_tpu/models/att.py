@@ -135,6 +135,11 @@ class AbstractAtt(nn.Module):
         # logits back to f32 for the loss/softmax regardless of GEMM policy
         return self.linear_classif(x).astype(jnp.float32)
 
+    def classif_params(self):
+        """(kernel, bias) of the answer head — see noatt.classif_params."""
+        v = self.linear_classif.variables["params"]
+        return v["kernel"], v["bias"]
+
     def encode_question(self, input_q: jax.Array,
                         deterministic: bool = True) -> jax.Array:
         return self.seq2vec(input_q, deterministic=deterministic)

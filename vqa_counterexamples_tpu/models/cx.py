@@ -75,7 +75,7 @@ class CXModelBase(nn.Module):
     def vqa_forward(self, image_features: jax.Array, question_wids: jax.Array,
                     deterministic: bool = True, q_emb: jax.Array = None,
                     v_proj: jax.Array = None,
-                 z_emb: jax.Array = None):
+                 z_emb: jax.Array = None, want_logits: bool = True):
         # K+1 comes from the input shape (the reference asserts it equals
         # knn_size+1, cx.py:65, and mutates knn_size for pairwise eval —
         # shape-derived K serves both without mutation).
@@ -132,14 +132,49 @@ class CXModelBase(nn.Module):
         # original image's answer logits (the first return is always `_`),
         # and slicing the 360-wide z before the 2000-wide classifier
         # deletes the (B, K+1, ans) reshape/slice relayout copies the
-        # trace showed at ~0.36 ms/step (B=512) when the slice came after
-        a_knns = self.vqa_model.classify(
-            z_knns.reshape(batch * (k1 - 1), -1), vqa_det)
-        a_knns = a_knns.reshape(batch, k1 - 1, -1)
-        if not self.trainable_vqa:
-            a_knns = jax.lax.stop_gradient(a_knns)
+        # trace showed at ~0.36 ms/step (B=512) when the slice came after.
+        # ``want_logits=False``: the caller consumes the answer head fused
+        # with the softmax mixture (ops/pallas/mixture_kernel.py) and skips
+        # materializing the (B, K, ans) logits entirely.
+        a_knns = None
+        if want_logits:
+            a_knns = self.vqa_model.classify(
+                z_knns.reshape(batch * (k1 - 1), -1), vqa_det)
+            a_knns = a_knns.reshape(batch, k1 - 1, -1)
+            if not self.trainable_vqa:
+                a_knns = jax.lax.stop_gradient(a_knns)
 
         return None, z_orig, a_knns, z_knns, q_emb
+
+    def _fused_head_ok(self) -> bool:
+        """Eligibility for the fused classify+softmax+mixture Pallas head
+        (ops/pallas/mixture_kernel.py).
+
+        VQACX_FUSED_HEAD: 'auto' (default) = on for single-device TPU runs
+        under the bf16 policy, '1' = whenever eligible regardless of device
+        count, 'interpret' = force through the Mosaic interpreter (CPU
+        tests), '0' = always the jax path.  Hard requirements regardless of
+        mode: frozen backbone (the kernel's only cotangent is d_ew) and an
+        activation-free answer head (the kernel computes z @ W + b).
+        'auto' stays off under a mesh — pallas_call has no GSPMD
+        partitioning rule.
+        """
+        import os
+
+        mode = os.environ.get("VQACX_FUSED_HEAD", "auto")
+        if mode == "0" or self.trainable_vqa or self.is_initializing():
+            return False
+        if "activation" in self.vqa_model.opt.get("classif", {}):
+            return False
+        from ..core.policy import compute_dtype
+
+        if compute_dtype() != jnp.bfloat16:
+            return False
+        if mode == "interpret":
+            return True
+        if jax.devices()[0].platform != "tpu":
+            return False
+        return mode == "1" or len(jax.devices()) == 1
 
     def __call__(self, image_features, question_wids, answer_aids,
                  deterministic: bool = True, q_emb: jax.Array = None,
@@ -254,12 +289,19 @@ class NeuralModel(CXModelBase):
         v_knns = image_features[:, 1:]
 
         a_knns = None
+        fused_z = None
+        fused_head = spec["a_emb"] and self._fused_head_ok()
         if spec["q_emb"] or spec["z_emb"] or spec["a_emb"]:
             # (reference runs vqa_forward when q_emb or z_emb; it would crash
             # with a_emb=True and both false — we additionally run it then)
             _, z_orig, a_knns, z_knns, q_emb = self.vqa_forward(
                 image_features, question_wids, deterministic, q_emb=q_emb,
-            v_proj=v_proj, z_emb=z_emb)
+            v_proj=v_proj, z_emb=z_emb, want_logits=not fused_head)
+            if fused_head:
+                # the real fused embeddings (pre any z lesion): the answer
+                # logits derive from these even when the z feature itself
+                # is lesioned (reference computes a from the true forward)
+                fused_z = z_knns
             if not spec["q_emb"] and not spec["z_emb"]:
                 q_emb = _uniform(self, (batch, dim_q))
                 z_orig = _uniform(self, (batch, dim_z))
@@ -288,8 +330,15 @@ class NeuralModel(CXModelBase):
             # — consumed only by the scorer's first layer, so it is passed in
             # factored (logits, table) form; the softmax happens inside the
             # re-associated contraction (ops/scorer.py first_layer_decomposed,
-            # folded around the GEMM under the bf16 policy)
-            a_emb_factored = (a_knns, answer_embedding)
+            # folded around the GEMM under the bf16 policy).  With the fused
+            # Pallas head, the frozen classifier weights ride along and the
+            # (B, K, ans) logits are never materialized at all.
+            if fused_head:
+                w_cls, b_cls = self.vqa_model.classif_params()
+                a_emb_factored = ("fused", fused_z, w_cls, b_cls,
+                                  answer_embedding)
+            else:
+                a_emb_factored = (a_knns, answer_embedding)
         else:
             a_emb_gt = _uniform(self, (batch, self.dim_a))
             a_emb_knns = _uniform(self, (batch, K, self.dim_a))

@@ -77,6 +77,13 @@ class AbstractNoAtt(nn.Module):
         # logits back to f32 for the loss/softmax regardless of GEMM policy
         return self.linear_classif(x).astype(jnp.float32)
 
+    def classif_params(self):
+        """(kernel, bias) of the answer head — for fused classify+softmax
+        consumers (ops/pallas/mixture_kernel.py), valid when the head has
+        no activation and runs deterministic (frozen backbone)."""
+        v = self.linear_classif.variables["params"]
+        return v["kernel"], v["bias"]
+
     # -- full forward --------------------------------------------------------
     def __call__(self, input_v: jax.Array, input_q: jax.Array,
                  deterministic: bool = True) -> jax.Array:

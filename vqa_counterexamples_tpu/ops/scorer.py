@@ -119,7 +119,23 @@ def first_layer_decomposed(w1: jax.Array, b1: jax.Array,
     cand_names = ["v_other", "v_mult", "z_other"]
     cand_feats = [v_knns, v_mult, z_knns]
     h_aemb = 0.0
-    if a_emb_knns_factored is not None:
+    if (a_emb_knns_factored is not None
+            and isinstance(a_emb_knns_factored[0], str)):
+        # fused Pallas answer head: classify -> softmax in one
+        # VMEM-resident kernel; the (B*K, A) logits never touch HBM
+        # (ops/pallas/mixture_kernel.py).  probs is a gradient constant
+        # (frozen head, stop-gradded z), so d_ew stays a plain XLA GEMM.
+        _, zk, w_cls, b_cls, table = a_emb_knns_factored
+        from ..ops.pallas.mixture_kernel import classify_softmax_pallas
+        import os
+
+        interp = os.environ.get("VQACX_FUSED_HEAD") == "interpret"
+        ew = pdot(table, wslice("a_emb_other"))  # (A, H)
+        Bp, Kp = zk.shape[:2]
+        probs = jax.lax.stop_gradient(classify_softmax_pallas(
+            cast_in(zk.reshape(Bp * Kp, -1)), w_cls, b_cls, 256, interp))
+        h_aemb = pdot(probs, ew).reshape(Bp, Kp, -1)
+    elif a_emb_knns_factored is not None:
         logits, table = a_emb_knns_factored
         lt = cast_in(logits)
         ew = pdot(table, wslice("a_emb_other"))  # (A, H)
