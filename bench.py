@@ -128,6 +128,7 @@ def main():
     import jax.numpy as jnp
     import optax
 
+    from vqa_counterexamples_tpu.core.profiler import hard_sync
     from vqa_counterexamples_tpu.data import synthetic, vqacx
     from vqa_counterexamples_tpu.engines import cx_engine
     from vqa_counterexamples_tpu.models import factory
@@ -202,15 +203,15 @@ def main():
         q_table = cx_engine.precompute_q_emb(model, state.params,
                                              arrays.question_wids,
                                              batch_size=2048)
-        jax.block_until_ready(q_table)
+        hard_sync(q_table)
     if use_v_cache:
         v_table = cx_engine.precompute_v_proj(model, state.params, features)
-        jax.block_until_ready(v_table)
+        hard_sync(v_table)
     if use_z_cache:
         z_table = cx_engine.precompute_z_emb(model, state.params, features,
                                              arrays.image_idxs, q_table,
                                              v_table=v_table)
-        jax.block_until_ready(z_table)
+        hard_sync(z_table)
         # z subsumes v in the step; v_table was only the build intermediate
         v_table = None
     # bf16-resident feature matrix + tables under the bf16 policy: the GEMMs
@@ -243,21 +244,21 @@ def main():
         # loop hides this behind double buffering, the bench pre-uploads
         batches.append({k: jnp.asarray(v)
                         for k, v in vqacx.gather_batch(arrays, idx).items()})
-    jax.block_until_ready(batches)
+    hard_sync(batches)
     nv = jnp.asarray(float(BATCH_SIZE), jnp.float32)
 
     if scan_len:
         stacked = cx_engine.stack_batches(
             [batches[j % len(batches)] for j in range(scan_len)])
         n_valids = jnp.full((scan_len,), float(BATCH_SIZE), jnp.float32)
-        jax.block_until_ready(stacked)
+        hard_sync(stacked)
         state, m = train_scan(state, features, stacked, n_valids, *extra)
-        jax.block_until_ready(state.params)
+        hard_sync(state.params)
         n_dispatches = max(N_STEPS // scan_len, 1)
         t0 = time.time()
         for _ in range(n_dispatches):
             state, m = train_scan(state, features, stacked, n_valids, *extra)
-        jax.block_until_ready(state.params)
+        hard_sync(state.params)
         dt = time.time() - t0
         measured_steps = n_dispatches * scan_len
     else:
@@ -270,13 +271,13 @@ def main():
         for i in range(N_WARMUP):
             state, m = train_step(state, features,
                                   batches[i % len(batches)], nv, *extra)
-        jax.block_until_ready(state.params)
+        hard_sync(state.params)
 
         t0 = time.time()
         for i in range(N_STEPS):
             state, m = train_step(state, features,
                                   batches[i % len(batches)], nv, *extra)
-        jax.block_until_ready(state.params)
+        hard_sync(state.params)
         dt = time.time() - t0
         measured_steps = N_STEPS
 

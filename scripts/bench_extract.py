@@ -35,6 +35,7 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
+    from vqa_counterexamples_tpu.core.profiler import hard_sync
     from vqa_counterexamples_tpu.models import convnets
 
     model = convnets.factory({"arch": "fbresnet152"})
@@ -54,13 +55,13 @@ def main():
                             dtype=np.float32))
     t0 = time.time()
     out = forward(params, batch)
-    jax.block_until_ready(out)
+    hard_sync(out)
     compile_s = time.time() - t0
 
     t0 = time.time()
     for _ in range(args.steps):
         out = forward(params, batch)
-    jax.block_until_ready(out)
+    hard_sync(out)
     dt = time.time() - t0
     ips = args.batch * args.steps / dt
 

@@ -34,6 +34,7 @@ def main():
     import numpy as np
     import optax
 
+    from vqa_counterexamples_tpu.core.profiler import hard_sync
     from vqa_counterexamples_tpu.data import synthetic
     from vqa_counterexamples_tpu.engines import vqa_engine
     from vqa_counterexamples_tpu.models import factory
@@ -86,13 +87,13 @@ def main():
 
     t0 = time.time()
     state, m = train_step(state, batch)
-    jax.block_until_ready(state.params)
+    hard_sync(state.params)
     compile_s = time.time() - t0
 
     t0 = time.time()
     for _ in range(args.steps):
         state, m = train_step(state, batch)
-    jax.block_until_ready(state.params)
+    hard_sync(state.params)
     dt = time.time() - t0
 
     print(json.dumps({

@@ -34,6 +34,7 @@ def main():
     import numpy as np
     import optax
 
+    from vqa_counterexamples_tpu.core.profiler import hard_sync
     from vqa_counterexamples_tpu.data import synthetic, vqacx
     from vqa_counterexamples_tpu.engines import cx_engine
     from vqa_counterexamples_tpu.models import factory
@@ -84,13 +85,13 @@ def main():
 
     state, _ = train_step(state, features, batch, nv, q_table, v_table,
                           z_table)
-    jax.block_until_ready(state.params)
+    hard_sync(state.params)
 
     with jax.profiler.trace(args.trace_dir):
         for _ in range(args.steps):
             state, m = train_step(state, features, batch, nv, q_table,
                                   v_table, z_table)
-        jax.block_until_ready(state.params)
+        hard_sync(state.params)
 
     subprocess.run([sys.executable,
                     os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -31,6 +31,7 @@ def build(spec_over=None, batch_size=384):
     import numpy as np
     import optax
 
+    from vqa_counterexamples_tpu.core.profiler import hard_sync
     from vqa_counterexamples_tpu.data import synthetic, vqacx
     from vqa_counterexamples_tpu.engines import cx_engine
     from vqa_counterexamples_tpu.models import factory
@@ -71,11 +72,11 @@ def time_step(fn, args, steps):
     import jax
 
     out = fn(*args)
-    jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+    hard_sync(jax.tree_util.tree_leaves(out)[0])
     t0 = time.time()
     for _ in range(steps):
         out = fn(*args)
-    jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+    hard_sync(jax.tree_util.tree_leaves(out)[0])
     return (time.time() - t0) / steps
 
 

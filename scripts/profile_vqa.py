@@ -35,6 +35,7 @@ def main():
     import numpy as np
     import optax
 
+    from vqa_counterexamples_tpu.core.profiler import hard_sync
     from vqa_counterexamples_tpu.data import synthetic
     from vqa_counterexamples_tpu.engines import vqa_engine
     from vqa_counterexamples_tpu.models import factory
@@ -82,12 +83,12 @@ def main():
     train_step = vqa_engine.make_vqa_train_step(model, optimizer)
 
     state, _ = train_step(state, batch)  # compile outside the trace
-    jax.block_until_ready(state.params)
+    hard_sync(state.params)
 
     with jax.profiler.trace(args.trace_dir):
         for _ in range(args.steps):
             state, m = train_step(state, batch)
-        jax.block_until_ready(state.params)
+        hard_sync(state.params)
 
     subprocess.run([sys.executable,
                     os.path.join(os.path.dirname(os.path.abspath(__file__)),
