@@ -112,3 +112,26 @@ def test_auto_layout_cx_step_runs(monkeypatch):
     state, m = step(state, features, b, nv)
     assert np.isfinite(float(m["loss"]))
     step.lower(state, features, b, nv).compile()     # bench's MFU path
+
+
+def test_default_on_false_gating(monkeypatch):
+    # CX callers pass default_on=False: AUTO stays off unless forced — an
+    # AUTO state is a dispatch hazard for the plain-jit scan/eval programs
+    # that share it (policy.dispatch_safe docstring)
+    _set_env(monkeypatch, None)
+    assert policy.auto_layout_jit_kwargs(1, default_on=False) == {}
+    _set_env(monkeypatch, "1")
+    assert policy.auto_layout_jit_kwargs(1, default_on=False) != {}
+    _set_env(monkeypatch, "0")
+    assert policy.auto_layout_jit_kwargs(1, default_on=False) == {}
+
+
+def test_dispatch_safe_gating(monkeypatch):
+    x = {"a": jnp.arange(16.0).reshape(4, 4)}
+    _set_env(monkeypatch, "0")
+    assert policy.dispatch_safe(x)["a"] is x["a"]  # no-op when AUTO off
+    _set_env(monkeypatch, "1")
+    y = policy.dispatch_safe(x)
+    assert y["a"] is not x["a"]
+    np.testing.assert_array_equal(np.asarray(y["a"]), np.asarray(x["a"]))
+    assert not y["a"].committed

@@ -70,7 +70,7 @@ def pdot(x, w):
                    preferred_element_type=jnp.float32).astype(_compute_dtype)
 
 
-def auto_layout_jit_kwargs(n_rest: int) -> dict:
+def auto_layout_jit_kwargs(n_rest: int, default_on: bool = True) -> dict:
     """jit kwargs that let XLA pick the donated train-state's memory layouts.
 
     By default a jitted program gets row-major entry layouts for its
@@ -89,14 +89,21 @@ def auto_layout_jit_kwargs(n_rest: int) -> dict:
     metrics)``, or ``{}`` when disabled (``VQACX_AUTO_LAYOUT=0``), on
     multi-device runs (mesh shardings own the layout story there), or when
     the layout API is unavailable.
+
+    ``default_on=False`` callers (the CX engine) keep AUTO off unless
+    ``VQACX_AUTO_LAYOUT=1`` forces it: with the z cache + fused head the
+    CX step measured layout-neutral (209.0k vs 208.5k same-session
+    2026-08-18), and an AUTO step's outputs are a hazard for the plain
+    jits it shares state with — see :func:`dispatch_safe`.
     """
     env = os.environ.get("VQACX_AUTO_LAYOUT")
     if env == "0":
         return {}
     import jax
 
-    if env != "1" and jax.device_count() != 1:
-        return {}
+    if env != "1":
+        if not default_on or jax.device_count() != 1:
+            return {}
     try:
         from jax.experimental.layout import Format, Layout
     except ImportError:
@@ -104,3 +111,26 @@ def auto_layout_jit_kwargs(n_rest: int) -> dict:
     auto = Format(Layout.AUTO)
     return {"in_shardings": (auto,) + (None,) * n_rest,
             "out_shardings": (auto, None)}
+
+
+def dispatch_safe(tree, default_on: bool = True):
+    """Params safe to pass into NON-AUTO jits after AUTO-layout training.
+
+    The outputs of an AUTO-layout train step carry XLA-chosen memory
+    layouts, but a consumer jitted WITHOUT layout specs assumes default
+    entry layouts for uncommitted arguments — and the runtime rejects the
+    mismatch at EXECUTION time with a bare ``INVALID_ARGUMENT`` (observed
+    2026-08-18: MutanNoAtt bf16 eval after 3 AUTO train steps, and the CX
+    eval after fused-head training; CPU tests run with AUTO disabled and
+    cannot catch it).  A host round-trip re-materializes every leaf in
+    its default layout, uncommitted.  No-op whenever AUTO layouts are
+    off, so it costs nothing in the default CX configuration; pass the
+    same ``default_on`` the matching trainer used.
+    """
+    if not auto_layout_jit_kwargs(0, default_on=default_on):
+        return tree
+    import jax
+    import numpy as np
+
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(np.asarray(x)), tree)

@@ -288,9 +288,13 @@ def make_cx_train_step(model, optimizer, *, recall_k: int = 5,
     # straight through the donated buffer
     # jit the full 7-arg signature (in_shardings must match the positional
     # arity exactly, so the optional cache tables are normalized to explicit
-    # Nones in the thin wrapper below)
+    # Nones in the thin wrapper below).  AUTO layouts are opt-in here
+    # (VQACX_AUTO_LAYOUT=1): measured layout-neutral for this step since
+    # the z cache + fused head (209.0k vs 208.5k), and an AUTO state is a
+    # dispatch hazard for the plain-jit scan trainer / eval step it shares
+    # params with (see policy.dispatch_safe)
     @functools.partial(jax.jit, donate_argnums=(0,),
-                       **policy.auto_layout_jit_kwargs(6))
+                       **policy.auto_layout_jit_kwargs(6, default_on=False))
     def _step(state: CXTrainState, features, batch, n_valid,
               q_table, v_table, z_table):
         return body(state, features, batch, n_valid, q_table, v_table,
@@ -499,6 +503,7 @@ def eval_model(eval_step, params, features, arrays: vqacx.CXArrays,
     precomputed fused embeddings for ``arrays`` (use_z_cache=True)."""
     # keep dispatch asynchronous: collect device scalars, sync once at the
     # end (a per-batch float() costs a full host round-trip per batch)
+    params = policy.dispatch_safe(params, default_on=False)
     extra = _cache_extras(q_table, v_table, z_table)
     outs = []
     n_total = 0
@@ -576,6 +581,13 @@ def train_epoch(train_step, state: CXTrainState, features,
     t0 = time.time()
     n_seen = 0
     use_scan = scan_step is not None and scan_len > 1 and mesh is None
+    if use_scan and policy.auto_layout_jit_kwargs(0, default_on=False):
+        # forced AUTO layouts (VQACX_AUTO_LAYOUT=1) are incompatible with
+        # mixing the AUTO per-step trainer and the plain-jit scan trainer
+        # over one state (see policy.dispatch_safe) — steps win
+        print("=> scan trainer disabled: VQACX_AUTO_LAYOUT=1 state cannot "
+              "also feed the plain-jit scan trainer")
+        use_scan = False
     pending = []  # (batch, n_valid) buffered for the next scan dispatch
 
     def fire_hooks(b, metrics, n_valid):

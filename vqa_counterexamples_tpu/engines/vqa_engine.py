@@ -126,6 +126,11 @@ def validate(eval_step, params, loader, experiment, epoch: int,
     [{question_id, answer}] (reference engine.py:65-114)."""
     from ..parallel import mesh_context
 
+    # the AUTO-layout train step leaves params in XLA-chosen layouts that
+    # the plain-jit eval step's dispatch would mismatch at runtime; one
+    # host round-trip per validate restores default layouts (no-op when
+    # AUTO is off — see policy.dispatch_safe)
+    params = policy.dispatch_safe(params)
     meters = experiment.reset_meters("val")
     results = []
     for batch in loader:
@@ -153,6 +158,7 @@ def test_pass(eval_step_logits, params, loader, aid_to_ans,
     engine.py:117-153): returns OpenEnded result rows for submission."""
     import numpy as np
 
+    params = policy.dispatch_safe(params)  # see validate
     results = []
     for batch in loader:
         preds = np.asarray(eval_step_logits(params, batch))
