@@ -133,11 +133,16 @@ def main(argv=None):
                                               use_v_cache=use_cache)
 
     def run_eval():
+        from ..core import policy
+
+        # AUTO-layout trained params need default layouts for the plain
+        # eval jit (policy.dispatch_safe; no-op when AUTO is off)
+        params = policy.dispatch_safe(state.params)
         totals, n = {"correct": 0.0}, 0
         step = 0
         for idx, n_valid in vqacx.batch_indices(val_arrays.size, batch_size,
                                                 shuffle=False):
-            out = eval_step(state.params, features_val,
+            out = eval_step(params, features_val,
                             vqacx.gather_batch(val_arrays, idx),
                             jnp.asarray(n_valid, jnp.float32),
                             jnp.asarray(step, jnp.int32), q_val, v_val)

@@ -47,9 +47,13 @@ def make_contrastive_train_step(model, optimizer, *, margin: float = 2.0,
         raise ValueError("q_emb/v_proj caches require a frozen VQA backbone")
 
     # 6-arg jit + thin wrapper: in_shardings (the AUTO-layout path,
-    # core/policy.auto_layout_jit_kwargs) must match the positional arity
+    # core/policy.auto_layout_jit_kwargs) must match the positional arity.
+    # AUTO is opt-in here like the CX step (default_on=False): the
+    # trainable subtree is a small embedding head over a frozen backbone —
+    # the configuration where AUTO measured layout-neutral — and the state
+    # feeds a plain-jit eval step (see policy.dispatch_safe)
     @functools.partial(jax.jit, donate_argnums=(0,),
-                       **policy.auto_layout_jit_kwargs(5))
+                       **policy.auto_layout_jit_kwargs(5, default_on=False))
     def _step(state: ContrastiveState, features, batch, n_valid,
               q_table, v_table):
         keys = rng_lib.step_keys(root, state.step, ("dropout", "lesion"))
