@@ -176,3 +176,38 @@ def test_gru_scan_dispatch_parity():
     finally:
         os.environ.pop("VQACX_COMPUTE_DTYPE", None)
         os.environ.pop("VQACX_GRU_PALLAS", None)
+
+
+def test_chunked_batch_matches_unchunked(monkeypatch):
+    """Batches beyond the kernel's VMEM plan (MAX_BATCH) run as equal
+    chunks — same states and grads as one kernel call."""
+    from vqa_counterexamples_tpu.core import policy
+    from vqa_counterexamples_tpu.ops.pallas import gru_kernel
+
+    params, x = _mk(batch=20, seq=4, dim_in=10, dim_h=16, seed=3)
+    os.environ["VQACX_GRU_PALLAS"] = "interpret"
+    try:
+        with policy.compute_dtype_scope("bfloat16"):
+            ref = rnn.gru_scan(params, x)
+
+            def loss(p):
+                return jnp.sum(rnn.gru_scan(p, x).astype(jnp.float32))
+
+            g_ref = jax.grad(lambda p: loss(p))(params)
+
+            monkeypatch.setattr(gru_kernel, "MAX_BATCH", 8)  # 20 -> 3 chunks
+            got = rnn.gru_scan(params, x)
+            g_got = jax.grad(lambda p: loss(p))(params)
+
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(ref, np.float32),
+                                   atol=1e-5, rtol=1e-5)
+        # grads: the chunked dW accumulates per chunk before the final
+        # sum — a different bf16 summation order than one kernel pass
+        for name in ("w_ih", "b_ih", "w_hh", "b_hh"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(g_got, name), np.float32),
+                np.asarray(getattr(g_ref, name), np.float32),
+                atol=3e-2, rtol=3e-2, err_msg=name)
+    finally:
+        os.environ.pop("VQACX_GRU_PALLAS", None)

@@ -121,11 +121,13 @@ def _pallas_gru_eligible(batch: int, h0, mode: str) -> bool:
     (v5e, 2026-08-17) — so 'auto'/'1' only engage at batch >= 256.
     """
     from ..core.policy import compute_dtype
-    from .pallas.gru_kernel import MAX_BATCH, MIN_BATCH
+    from .pallas.gru_kernel import MIN_BATCH
 
     if mode == "0":
         return False
-    if compute_dtype() != jnp.bfloat16 or batch > MAX_BATCH:
+    # no MAX_BATCH cap: batches beyond the kernel's VMEM plan run as
+    # equal chunks (see _gru_pallas_path)
+    if compute_dtype() != jnp.bfloat16:
         return False
     if batch < MIN_BATCH and mode != "interpret":
         return False
@@ -175,9 +177,30 @@ def _gru_pallas_path(params: "GRUParams", xt: jax.Array,
     else:
         mask = jnp.pad(mask_h, ((0, 0), (0, pad_h))).astype(jnp.bfloat16)
 
-    states = gru_recurrence_pallas(w_hh.astype(jnp.bfloat16), b_hh,
-                                   x_proj, mask, interpret)
-    return states[:, :, :dim_h]
+    from .pallas.gru_kernel import MAX_BATCH
+
+    w_hh = w_hh.astype(jnp.bfloat16)
+    if batch <= MAX_BATCH:
+        states = gru_recurrence_pallas(w_hh, b_hh, x_proj, mask, interpret)
+        return states[:, :, :dim_h]
+
+    # the recurrence is independent per example, and MAX_BATCH is only the
+    # kernel's VMEM plan (three (B, Hp) carries + double-buffered blocks):
+    # run the kernel over equal batch chunks and concatenate.  Each chunk
+    # streams the full w_hh per timestep like a standalone call, so this
+    # keeps the per-chunk compute geometry identical; measured it extends
+    # the kernel's win past B=512 instead of falling back to lax.scan.
+    n_chunks = -(-batch // MAX_BATCH)
+    chunk = ((-(-batch // n_chunks) + 7) // 8) * 8  # sublane multiple
+    pb = n_chunks * chunk
+    if pb != batch:
+        x_proj = jnp.pad(x_proj, ((0, 0), (0, pb - batch), (0, 0)))
+        mask = jnp.pad(mask, ((0, pb - batch), (0, 0)))
+    outs = [gru_recurrence_pallas(
+        w_hh, b_hh, x_proj[:, i * chunk:(i + 1) * chunk],
+        mask[i * chunk:(i + 1) * chunk], interpret)
+        for i in range(n_chunks)]
+    return jnp.concatenate(outs, axis=1)[:, :batch, :dim_h]
 
 
 def _split_bwd_enabled() -> bool:
