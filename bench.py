@@ -61,9 +61,9 @@ transpose GEMM stays bf16; the f32 divide's backward materialized two
 answer head's (B*K, 2000) logits never touch HBM — the kernel emits
 softmax probs directly with W_cls VMEM-resident.  (A fuller variant that
 also folded the (A, H) mixture GEMM into the kernel measured 194.9k —
-its backward recomputed classify+exp per step; rejected.)  NOTE: the
-``mfu`` field now undercounts — XLA's cost analysis does not see the
-custom-call's ~49 GFLOP/step.
+its backward recomputed classify+exp per step; rejected.)  The ``mfu``
+field adds the kernel's classify-GEMM FLOPs to XLA's count (custom
+calls are invisible to cost_analysis): 208.7k = MFU 0.295.
 B=512 programs previously failed with transient
 'UNAVAILABLE: TPU device error' on most attempts (2026-08-16: 1/7, a
 failed program wedged the chip for minutes) so B=384 was the default;
@@ -296,6 +296,14 @@ def main():
         if isinstance(analysis, list):  # older jax returns one dict per device
             analysis = analysis[0]
         step_flops = float(analysis["flops"])
+        # the fused Pallas answer head is a custom call XLA's cost
+        # analysis cannot see; add its classify-GEMM FLOPs (the softmax
+        # elementwise work is negligible) so mfu stays comparable to the
+        # pre-kernel numbers
+        if (os.environ.get("VQACX_FUSED_HEAD", "auto") != "0"
+                and os.environ.get("VQACX_COMPUTE_DTYPE") == "bfloat16"
+                and jax.devices()[0].platform == "tpu"):
+            step_flops += 2.0 * BATCH_SIZE * 24 * 360 * 2000
         flops_per_sec = step_flops * measured_steps / dt
         tflops = round(flops_per_sec / 1e12, 2)
         peak = PEAK_FLOPS.get(jax.devices()[0].device_kind)
