@@ -1,0 +1,107 @@
+"""Serving-path latency/throughput for the demo engine (one chip).
+
+Exercises the exact path an HTTP request takes through
+``serve.demo_server.DemoEngine`` — base64 JPEG decode + tokenize + the ONE
+jitted CNN+VQA device call + top-5/attention post-processing — with a
+synthetic MutanNoAtt (reference dims) and fbresnet152 trunk.  The per-item
+result arrays are host readbacks, so every timing is hard-synced by
+construction.
+
+Usage: python scripts/bench_serve.py [--requests 20] [--arch MutanNoAtt]
+Prints one JSON line.
+"""
+
+import argparse
+import base64
+import io
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--requests", type=int, default=20)
+    ap.add_argument("--arch", type=str, default="MutanNoAtt")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import numpy as np
+    from PIL import Image
+
+    from vqa_counterexamples_tpu.data import synthetic
+    from vqa_counterexamples_tpu.models import convnets, factory
+    from vqa_counterexamples_tpu.serve.demo_server import DemoEngine
+
+    n_answers = 2000
+    opt = synthetic.tiny_vqa_options(dim_v=2048, nans=n_answers, dim_q=2400)
+    opt["arch"] = args.arch
+    opt["seq2vec"] = {"arch": "skipthoughts", "type": "BayesianUniSkip",
+                      "dropout": 0.25, "fixed_emb": False}
+    opt["fusion"].update(dim_hv=360, dim_hq=360, dim_mm=360, R=10)
+    vocab_words = tuple("w%d" % i for i in range(2000))
+    vocab_answers = tuple("a%d" % i for i in range(n_answers))
+    options = {"vqa": {"maxlength": 26, "pad": "right"},
+               "coco": {"arch": "fbresnet152", "size": 448},
+               "model": opt}
+
+    model = factory.factory_vqa(opt, vocab_words, vocab_answers)
+    rng = np.random.default_rng(0)
+    import jax.numpy as jnp
+
+    key = jax.random.key(0)
+    kp, kd = jax.random.split(key)
+    vqa_params = model.init(
+        {"params": kp, "dropout": kd},
+        jnp.zeros((1, 2048), jnp.float32),
+        jnp.zeros((1, 26), jnp.int32), deterministic=True)["params"]
+    cnn = convnets.factory({"arch": "fbresnet152", "pooling": False})
+    cnn_params = convnets.init_resnet(cnn, image_size=448)
+
+    engine = DemoEngine(options, vqa_params, cnn_params, vocab_words,
+                        vocab_answers, attention=False)
+
+    # synthetic request: a real JPEG through the real decode path
+    img = Image.fromarray(
+        rng.integers(0, 255, (480, 640, 3), dtype=np.uint8), "RGB")
+    buf = io.BytesIO()
+    img.save(buf, format="JPEG")
+    b64 = base64.b64encode(buf.getvalue()).decode()
+    question = "what color is the w7 next to the w12 ?"
+
+    engine.answer(b64, question)  # compile + warm
+    t0 = time.time()
+    for _ in range(args.requests):
+        engine.answer(b64, question)
+    lat_ms = (time.time() - t0) / args.requests * 1000
+
+    out = {}
+    for bs in (8, 32):
+        items = [{"visual": b64, "question": question}] * bs
+        engine.answer_batch(items)  # warm the bucket
+        t0 = time.time()
+        for _ in range(5):
+            engine.answer_batch(items)
+        dt = (time.time() - t0) / 5
+        out["batch%d_items_per_sec" % bs] = round(bs / dt, 1)
+
+    print(json.dumps({
+        "metric": "demo_serve_latency_ms",
+        "value": round(lat_ms, 2),
+        "unit": "ms/request",
+        "arch": args.arch,
+        **out,
+        "device": jax.devices()[0].device_kind,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -145,3 +145,22 @@ def test_answer_batch_one_device_call_matches_single(tmp_path):
     engine.load_checkpoint(str(tmp_path / "best"))
     swapped = engine.answer(items[1]["visual"], items[1]["question"])
     assert swapped["val"] != single["val"]
+
+
+def test_uint8_device_normalize_matches_host_preprocess():
+    # the serving/extract split transform (host Scale+CenterCrop uint8 +
+    # device ToTensor+Normalize) must reproduce the reference one-shot
+    # host transform exactly
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from vqa_counterexamples_tpu.models.convnets import (
+        normalize_images_device, preprocess_image, preprocess_image_uint8)
+
+    rng = np.random.default_rng(3)
+    img = Image.fromarray(rng.integers(0, 255, (500, 400, 3),
+                                       dtype=np.uint8), "RGB")
+    ref = preprocess_image(img, size=64)
+    u8 = preprocess_image_uint8(img, size=64)
+    dev = np.asarray(normalize_images_device(jnp.asarray(u8)))
+    np.testing.assert_allclose(dev, ref, atol=1e-6)

@@ -106,6 +106,10 @@ def main(argv=None):
     # full ResNet weights and slowing compilation
     @jax.jit
     def forward(params, batch):
+        if batch.dtype == jnp.uint8:
+            # images ship uint8 (4x less H2D per batch) and normalize on
+            # device; the synthetic path feeds f32 directly
+            batch = convnets.normalize_images_device(batch)
         att = model.apply({"params": params}, batch)     # (B, 14, 14, 2048)
         noatt = jnp.mean(att, axis=(1, 2))               # true spatial mean
         return att, noatt
@@ -154,8 +158,10 @@ def main(argv=None):
 
         def load(name):
             with Image.open(os.path.join(img_dir, name)) as img:
-                return convnets.preprocess_image(img.convert("RGB"),
-                                                 args.size)
+                # host does Scale+CenterCrop only; ToTensor+Normalize run
+                # inside the jitted forward (identical numerics)
+                return convnets.preprocess_image_uint8(img.convert("RGB"),
+                                                       args.size)
 
     n = len(names)
     print("Extracting %d images (%s)" % (n, args.data_split))

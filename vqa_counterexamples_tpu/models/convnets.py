@@ -186,6 +186,19 @@ def preprocess_image(img, size: int = 448):
     ToTensor -> ImageNet Normalize (reference coco.py:84-92 transform)."""
     import numpy as np
 
+    arr = preprocess_image_uint8(img, size).astype(np.float32) / 255.0
+    arr = (arr - np.asarray(IMAGENET_MEAN)) / np.asarray(IMAGENET_STD)
+    return arr.astype(np.float32)
+
+
+def preprocess_image_uint8(img, size: int = 448):
+    """Scale -> CenterCrop only, as uint8 (H, W, 3) — the host half of the
+    transform.  Pair with :func:`normalize_images_device` inside a jit: the
+    uint8 form is 4x smaller on the host->device wire (a 32 x 448 x 448 x 3
+    request batch is 19 MB instead of 77 MB) and moves the per-pixel float
+    math onto the chip."""
+    import numpy as np
+
     w, h = img.size
     if w < h:
         nw, nh = size, int(round(h * size / w))
@@ -195,8 +208,18 @@ def preprocess_image(img, size: int = 448):
     left = (nw - size) // 2
     top = (nh - size) // 2
     img = img.crop((left, top, left + size, top + size))
-    arr = np.asarray(img, dtype=np.float32) / 255.0
+    arr = np.asarray(img, dtype=np.uint8)
     if arr.ndim == 2:
         arr = np.stack([arr] * 3, axis=-1)
-    arr = (arr - np.asarray(IMAGENET_MEAN)) / np.asarray(IMAGENET_STD)
-    return arr.astype(np.float32)
+    return arr
+
+
+def normalize_images_device(x):
+    """Device half of the transform: uint8 (..., 3) -> ToTensor + ImageNet
+    Normalize, matching :func:`preprocess_image` numerics."""
+    import jax.numpy as jnp
+
+    x = x.astype(jnp.float32) / 255.0
+    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+    std = jnp.asarray(IMAGENET_STD, jnp.float32)
+    return (x - mean) / std

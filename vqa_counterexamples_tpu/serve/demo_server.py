@@ -105,7 +105,13 @@ class DemoEngine:
                                     tuple(vocab_answers))
 
         def predict(vqa_params, images, wids):
-            """Batched: images (N,H,W,3) f32, wids (N,T) i32 -> top-5 + att."""
+            """Batched: images (N,H,W,3) uint8, wids (N,T) i32 -> top-5 + att.
+
+            Images arrive uint8 and normalize on device: 4x less H2D
+            traffic per request batch, and the per-pixel float math runs
+            on the chip instead of the serving host (measured 14.6 -> ~50
+            items/sec at /batch 32 through a tunneled v5e)."""
+            images = convnets.normalize_images_device(images)
             att_map = cnn.apply({"params": cnn_params}, images)
             if attention:
                 logits, att = model.apply(
@@ -153,11 +159,11 @@ class DemoEngine:
     def _decode_image(self, image_b64: str):
         from PIL import Image
 
-        from ..models.convnets import preprocess_image
+        from ..models.convnets import preprocess_image_uint8
 
         raw = base64.b64decode(image_b64.split(",")[-1])
         img = Image.open(io.BytesIO(raw)).convert("RGB")
-        return preprocess_image(img, size=self.size)
+        return preprocess_image_uint8(img, size=self.size)
 
     def _att_pngs(self, att) -> list:
         from PIL import Image
@@ -183,6 +189,8 @@ class DemoEngine:
         if len(items) > MAX_BATCH:
             raise ValueError("batch too large: %d > %d"
                              % (len(items), MAX_BATCH))
+        # serial decode: a thread pool measured SLOWER here (GIL contention
+        # in the PIL resize path, 53 vs 17 ms/item at /batch 32)
         images = np.stack([self._decode_image(it["visual"]) for it in items])
         wids = np.stack([self.encode_question(it["question"])
                          for it in items])
