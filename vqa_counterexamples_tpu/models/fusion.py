@@ -9,6 +9,7 @@ dim_hq, dim_mm, R, dropout_*, activation_*).
 
 from __future__ import annotations
 
+import os
 from typing import Any, Mapping
 
 import flax.linen as nn
@@ -17,6 +18,33 @@ import jax.numpy as jnp
 
 from ..ops import fusion as fusion_ops
 from .common import dropout
+
+
+def _att_pallas_ok(k1: int) -> bool:
+    """Gate for the fused folded-MUTAN Pallas kernel
+    (ops/pallas/attmutan_kernel.py).
+
+    VQACX_ATT_PALLAS: '0' (default) = the XLA folded path, '1' = the
+    kernel wherever bf16-eligible, 'interpret' = Mosaic interpreter (CPU
+    tests).  Default OFF: measured a net LOSS end-to-end (MutanAtt B=512
+    bf16 16.1k vs 21.6k examples/sec, 2026-08-18) — the per-example grid
+    (512 steps of ~40 MFLOP GEMMs) is dominated by per-step overhead;
+    micro-bench fwd 6.5 ms vs the XLA chain's 4.7 ms at the same shapes.
+    A batch-tiled redesign (8-16 examples per grid step) is the known
+    path to making it win; kept opt-in with parity pinned in
+    tests/test_attmutan_kernel.py until that lands."""
+    mode = os.environ.get("VQACX_ATT_PALLAS", "0")
+    if mode == "0":
+        return False
+    from ..core.policy import compute_dtype
+
+    if compute_dtype() != jnp.bfloat16:
+        return False
+    if mode == "interpret":
+        return True
+    if jax.devices()[0].platform != "tpu":
+        return False
+    return mode == "1"
 
 _ACTIVATIONS = {
     "tanh": jnp.tanh,
@@ -293,7 +321,19 @@ class MutanFusion(nn.Module):
         xq, wq = cast_in(x_q, self.w_hq)
         hq = (jnp.dot(xq, wq, preferred_element_type=jnp.float32)
               + self.b_hq).reshape(batch, rank, dim_mm)
-        if k1 >= rank:
+        if k1 >= rank and _att_pallas_ok(k1):
+            # fused Pallas variant of the folded form below: weff never
+            # exists in HBM (ops/pallas/attmutan_kernel.py) — the XLA
+            # folded path's weff build/retile chain cost ~2.7 ms of the
+            # 22.4 ms MutanAtt B=512 step (xplane 2026-08-18)
+            from ..ops.pallas.attmutan_kernel import folded_mutan_pallas
+
+            x_mm = folded_mutan_pallas(
+                xv.reshape(batch, k1, -1),
+                wv.reshape(wv.shape[0], rank, dim_mm),
+                self.b_hv.reshape(rank, dim_mm), hq,
+                os.environ.get("VQACX_ATT_PALLAS") == "interpret")
+        elif k1 >= rank:
             # Fold the question side into a per-example effective weight:
             #     z[b,k,m] = sum_r (x_v[b,k] @ w_hv)[r,m] * hq[b,r,m]
             #              = x_v[b,k] @ Weff[b] + sum_r b_hv[r,m] * hq[b,r,m]

@@ -1,0 +1,211 @@
+"""Pallas TPU kernel for the folded-weight MUTAN attention fusion.
+
+The MutanAtt attention stage fuses every spatial position against the
+question: ``x_mm[b,k,m] = sum_r (x_v[b,k] @ w_hv)[r,m] * hq[b,r,m]`` over
+K=196 positions (models/fusion.py fuse_candidates).  The XLA folded form
+(``weff[b] = sum_r w3[:,r,:] * hq[b,r,:]`` then ``x_v[b] @ weff[b]``) wins
+on FLOPs but materializes the (B, dim_hv, dim_mm) ``weff`` tensor in HBM
+(81 MB bf16 at B=256) and XLA re-tiles it between the build einsum and the
+batched GEMM — the B=512 trace shows the weff/x_mm einsum-and-copy chain
+at ~2.7 ms of the 22.4 ms step while the necessary GEMM FLOPs are ~0.5 ms.
+
+This kernel walks examples with ``w3`` VMEM-resident: per example it builds
+weff in VMEM (5 fused multiply-adds over a (dim_hv, dim_mm) tile), runs the
+(K, dim_hv) x (dim_hv, dim_mm) MXU GEMM, and adds the rank-folded bias —
+weff never exists in HBM.  The backward recomputes weff (cheap: R
+multiply-adds) and accumulates ``dw3``/``db3`` across the grid; ``dx_v``
+and ``dhq`` are per-example.
+
+Padding: dim_hv/dim_mm pad to the lane multiple and K to the sublane
+multiple with zeros — padded rows/cols contribute exact zeros everywhere.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+SUBLANE = 8
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _weff(w3_ref, hq_row, rank):
+    acc = None
+    for r in range(rank):
+        term = (w3_ref[:, r, :].astype(jnp.float32)
+                * hq_row[r][None, :].astype(jnp.float32))
+        acc = term if acc is None else acc + term
+    return acc  # (Dh, M) f32
+
+
+def _fwd_kernel(rank, xv_ref, w3_ref, b3_ref, hq_ref, out_ref):
+    hq = hq_ref[0]
+    weff = _weff(w3_ref, hq, rank).astype(jnp.bfloat16)
+    bias = None
+    for r in range(rank):
+        term = (b3_ref[r].astype(jnp.float32)
+                * hq[r].astype(jnp.float32))
+        bias = term if bias is None else bias + term
+    x_mm = jnp.dot(xv_ref[0], weff, preferred_element_type=jnp.float32)
+    out_ref[0] = (x_mm + bias[None, :]).astype(jnp.bfloat16)
+
+
+def _bwd_kernel(rank, xv_ref, w3_ref, b3_ref, hq_ref, g_ref,
+                dxv_ref, dhq_ref, dw3_ref, db3_ref, dw3_acc, db3_acc):
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    hq = hq_ref[0]
+    g = g_ref[0]
+    weff = _weff(w3_ref, hq, rank).astype(jnp.bfloat16)
+    # dx_v = g @ weff^T  (contract m)
+    dxv_ref[0] = jax.lax.dot_general(
+        g, weff, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+    # dweff = x_v^T @ g  (contract k)
+    dweff = jax.lax.dot_general(
+        xv_ref[0], g, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (Dh, M) f32
+    # axis-0 reductions as dot-with-ones: Mosaic rejects VPU ADD reduces
+    # over dims with nonzero layout offsets (the sliced w3 views), and the
+    # MXU matvec form is faster anyway
+    ones_k = jnp.ones((1, g.shape[0]), jnp.bfloat16)
+    gsum = jnp.dot(ones_k, g, preferred_element_type=jnp.float32)[0]  # (M,)
+
+    for r in range(rank):
+        hr = hq[r].astype(jnp.float32)
+        dw3_r = dweff * hr[None, :]
+        db3_r = gsum * hr
+
+        # dw3/db3 accumulate in persistent VMEM scratch across the grid —
+        # a revisited HBM output would re-read+re-write the whole (Dh, R,
+        # M) f32 tensor per example (~4 GB/step at B=512), which measured
+        # a 25% end-to-end LOSS before this
+        @pl.when(i == 0)
+        def _(r=r, dw3_r=dw3_r, db3_r=db3_r):
+            dw3_acc[:, r, :] = dw3_r
+            db3_acc[r] = db3_r
+
+        @pl.when(i > 0)
+        def _(r=r, dw3_r=dw3_r, db3_r=db3_r):
+            dw3_acc[:, r, :] = dw3_acc[:, r, :] + dw3_r
+            db3_acc[r] = db3_acc[r] + db3_r
+
+        # dhq[r,m] = sum_d w3[d,r,m] * dweff[d,m]  +  b3[r,m] * gsum[m]
+        prod = w3_ref[:, r, :].astype(jnp.float32) * dweff  # (Dh, M)
+        ones_d = jnp.ones((1, prod.shape[0]), jnp.float32)
+        dhq_r = (jnp.dot(ones_d, prod,
+                         preferred_element_type=jnp.float32)[0]
+                 + b3_ref[r].astype(jnp.float32) * gsum)
+        dhq_ref[0, r] = dhq_r.astype(jnp.bfloat16)
+
+    @pl.when(i == n - 1)
+    def _():
+        dw3_ref[...] = dw3_acc[...]
+        db3_ref[...] = db3_acc[...]
+
+
+def _pad(x_v, w3, b3, hq, tile_k=None):
+    b, k, dh = x_v.shape
+    rank, m = b3.shape
+    pk, pdh, pm = (_round_up(k, SUBLANE), _round_up(dh, LANE),
+                   _round_up(m, LANE))
+    xv = jnp.pad(x_v.astype(jnp.bfloat16),
+                 ((0, 0), (0, pk - k), (0, pdh - dh)))
+    w3p = jnp.pad(w3.astype(jnp.bfloat16),
+                  ((0, pdh - dh), (0, 0), (0, pm - m)))
+    b3p = jnp.pad(b3.astype(jnp.bfloat16), ((0, 0), (0, pm - m)))
+    hqp = jnp.pad(hq.astype(jnp.bfloat16), ((0, 0), (0, 0), (0, pm - m)))
+    return xv, w3p, b3p, hqp, (pk, pdh, pm)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _fwd_call(x_v, w3, b3, hq, interpret: bool = False):
+    b, k, _ = x_v.shape
+    rank, m = b3.shape
+    xv, w3p, b3p, hqp, (pk, pdh, pm) = _pad(x_v, w3, b3, hq)
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, rank),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, pk, pdh), lambda i: (i, 0, 0)),
+            pl.BlockSpec((pdh, rank, pm), lambda i: (0, 0, 0)),
+            pl.BlockSpec((rank, pm), lambda i: (0, 0)),
+            pl.BlockSpec((1, rank, pm), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, pk, pm), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, pk, pm), jnp.bfloat16),
+        interpret=interpret,
+    )(xv, w3p, b3p, hqp)
+    return out[:, :k, :m]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _bwd_call(x_v, w3, b3, hq, g, interpret: bool = False):
+    b, k, dh = x_v.shape
+    rank, m = b3.shape
+    xv, w3p, b3p, hqp, (pk, pdh, pm) = _pad(x_v, w3, b3, hq)
+    gp = jnp.pad(g.astype(jnp.bfloat16),
+                 ((0, 0), (0, pk - k), (0, pm - m)))
+    dxv, dhq, dw3, db3 = pl.pallas_call(
+        functools.partial(_bwd_kernel, rank),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, pk, pdh), lambda i: (i, 0, 0)),
+            pl.BlockSpec((pdh, rank, pm), lambda i: (0, 0, 0)),
+            pl.BlockSpec((rank, pm), lambda i: (0, 0)),
+            pl.BlockSpec((1, rank, pm), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, pk, pm), lambda i: (i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, pk, pdh), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, rank, pm), lambda i: (i, 0, 0)),
+            pl.BlockSpec((pdh, rank, pm), lambda i: (0, 0, 0)),
+            pl.BlockSpec((rank, pm), lambda i: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, pk, pdh), jnp.bfloat16),
+            jax.ShapeDtypeStruct((b, rank, pm), jnp.bfloat16),
+            jax.ShapeDtypeStruct((pdh, rank, pm), jnp.float32),
+            jax.ShapeDtypeStruct((rank, pm), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((pdh, rank, pm), jnp.float32),
+            pltpu.VMEM((rank, pm), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xv, w3p, b3p, hqp, gp)
+    return (dxv[:, :k, :dh], dhq[:, :, :m], dw3[:dh, :, :m], db3[:, :m])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def folded_mutan_pallas(x_v, w3, b3, hq, interpret: bool = False):
+    """``x_mm[b,k,m] = x_v[b,k] @ (sum_r w3[:,r,:] * hq[b,r,:]) + sum_r
+    b3[r,:] * hq[b,r,:]`` without materializing weff in HBM.
+
+    Shapes: x_v (B, K, Dh); w3 (Dh, R, M); b3 (R, M); hq (B, R, M).
+    Returns (B, K, M) bf16.  Gradients flow to all four inputs (the
+    attention stage is fully trainable in pretraining).
+    """
+    return _fwd_call(x_v, w3, b3, hq, interpret=interpret)
+
+
+def _vjp_fwd(x_v, w3, b3, hq, interpret):
+    return _fwd_call(x_v, w3, b3, hq, interpret=interpret), (x_v, w3, b3, hq)
+
+
+def _vjp_bwd(interpret, res, g):
+    x_v, w3, b3, hq = res
+    dxv, dhq, dw3, db3 = _bwd_call(x_v, w3, b3, hq, g, interpret=interpret)
+    return (dxv.astype(x_v.dtype), dw3.astype(w3.dtype),
+            db3.astype(b3.dtype), dhq.astype(hq.dtype))
+
+
+folded_mutan_pallas.defvjp(_vjp_fwd, _vjp_bwd)
