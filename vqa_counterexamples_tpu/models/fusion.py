@@ -24,16 +24,17 @@ def _att_pallas_ok(k1: int) -> bool:
     """Gate for the fused folded-MUTAN Pallas kernel
     (ops/pallas/attmutan_kernel.py).
 
-    VQACX_ATT_PALLAS: '0' (default) = the XLA folded path, '1' = the
-    kernel wherever bf16-eligible, 'interpret' = Mosaic interpreter (CPU
-    tests).  Default OFF: measured a net LOSS end-to-end (MutanAtt B=512
-    bf16 16.1k vs 21.6k examples/sec, 2026-08-18) — the per-example grid
-    (512 steps of ~40 MFLOP GEMMs) is dominated by per-step overhead;
-    micro-bench fwd 6.5 ms vs the XLA chain's 4.7 ms at the same shapes.
-    A batch-tiled redesign (8-16 examples per grid step) is the known
-    path to making it win; kept opt-in with parity pinned in
-    tests/test_attmutan_kernel.py until that lands."""
-    mode = os.environ.get("VQACX_ATT_PALLAS", "0")
+    VQACX_ATT_PALLAS: 'auto' (default) = on for single-device TPU runs
+    under the bf16 policy at spatial scale (k1 >= 64 — the CX K=25
+    candidate axis stays on the rank-row cache form, PARITY), '1' =
+    wherever bf16-eligible, 'interpret' = Mosaic interpreter (CPU tests),
+    '0' = always the XLA folded path.  Measured +5.7% end-to-end
+    (MutanAtt B=512 bf16 21.6k -> 22.9k examples/sec, 2026-08-18) after
+    two kernel iterations: batch-tiled grid (the per-example grid was
+    overhead-bound at 16.1k) and (R, Dh, M) leading-dim weight slicing
+    (the (Dh, R, M) middle-dim slices lowered to strided VPU access —
+    fwd 7.1 -> 3.9 ms, bwd 11.4 -> 5.4 ms micro-bench)."""
+    mode = os.environ.get("VQACX_ATT_PALLAS", "auto")
     if mode == "0":
         return False
     from ..core.policy import compute_dtype
@@ -44,7 +45,9 @@ def _att_pallas_ok(k1: int) -> bool:
         return True
     if jax.devices()[0].platform != "tpu":
         return False
-    return mode == "1"
+    if mode == "1":
+        return True
+    return k1 >= 64 and len(jax.devices()) == 1
 
 _ACTIVATIONS = {
     "tanh": jnp.tanh,
