@@ -349,10 +349,22 @@ if __name__ == "__main__":
         delays = [180, 600]  # a wedged chip takes tens of minutes to recover
         cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  ".jax_cache")
+        # Per-attempt watchdog: when the TPU tunnel is down, backend init
+        # blocks forever with zero CPU (observed 2026-08-18) — a hang must
+        # become a retry, not a lost round.  Generous: a cold compile of
+        # the skip-thoughts step takes minutes on this runtime.
+        attempt_timeout = int(os.environ.get("VQACX_BENCH_TIMEOUT", "2400"))
         for attempt in range(3):
-            rc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
-                env={**os.environ, "VQACX_BENCH_INNER": "1"}).returncode
+            try:
+                rc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__)],
+                    env={**os.environ, "VQACX_BENCH_INNER": "1"},
+                    timeout=attempt_timeout).returncode
+            except subprocess.TimeoutExpired:
+                print("bench attempt %d timed out after %ds"
+                      % (attempt + 1, attempt_timeout),
+                      file=sys.stderr, flush=True)
+                rc = 124
             if rc == 0:
                 break
             cleared = ""
