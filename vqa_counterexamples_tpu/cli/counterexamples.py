@@ -93,6 +93,11 @@ def build_parser() -> argparse.ArgumentParser:
                         help="data-parallel mesh spec, e.g. 'data=8': shards "
                              "the batch over devices, replicates params "
                              "(gradient all-reduce over ICI)")
+    parser.add_argument("--init_params", type=str, default=None,
+                        help="msgpack params file to graft over the "
+                             "initialized CX params (e.g. a reference torch "
+                             "checkpoint converted by cli/port_checkpoint "
+                             "--kind cx); applied before --resume")
     parser.add_argument("--seed", type=int, default=42)
     return parser
 
@@ -269,6 +274,13 @@ def main(argv=None):
         params = dict(state.params)
         params = init_answer_embedding(params, emb)
         state = state._replace(params=params)
+
+    if args.init_params:
+        # ported params (cli/port_checkpoint --kind cx): deserialize against
+        # the initialized tree so structure/shapes are validated, then graft
+        state = state._replace(params=ckpt_lib.load_pytree(
+            state.params, args.init_params))
+        print("Initialized CX params from {}".format(args.init_params))
 
     info = []
     start_epoch = 1
