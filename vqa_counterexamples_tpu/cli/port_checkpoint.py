@@ -43,6 +43,11 @@ def load_state_dict(path: str) -> dict:
     for key in ("state_dict", "model_state", "model"):
         if isinstance(sd, dict) and key in sd and isinstance(sd[key], dict):
             sd = sd[key]
+    # a checkpoint saved without unwrapping nn.DataParallel carries a
+    # uniform "module." prefix (the reference unwraps, train.py:231, but
+    # forks often don't)
+    if sd and all(k.startswith("module.") for k in sd):
+        sd = {k[len("module."):]: v for k, v in sd.items()}
     return sd
 
 
