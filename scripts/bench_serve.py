@@ -93,6 +93,32 @@ def main():
         dt = (time.time() - t0) / 5
         out["batch%d_items_per_sec" % bs] = round(bs / dt, 1)
 
+    # concurrent single requests through the micro-batcher (the POST /
+    # path under load): 32 request threads, coalesced device calls
+    import threading
+
+    from vqa_counterexamples_tpu.serve.demo_server import MicroBatcher
+
+    batcher = MicroBatcher(engine, max_wait_ms=4.0)
+    n_conc = 32
+
+    def fire():
+        threads = [threading.Thread(
+            target=lambda: batcher.submit(
+                {"visual": b64, "question": question}))
+            for _ in range(n_conc)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+
+    fire()  # warm whatever buckets the coalescing lands on
+    t0 = time.time()
+    for _ in range(5):
+        fire()
+    dt = (time.time() - t0) / 5
+    out["concurrent%d_items_per_sec" % n_conc] = round(n_conc / dt, 1)
+
     print(json.dumps({
         "metric": "demo_serve_latency_ms",
         "value": round(lat_ms, 2),

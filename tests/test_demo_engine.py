@@ -147,6 +147,93 @@ def test_answer_batch_one_device_call_matches_single(tmp_path):
     assert swapped["val"] != single["val"]
 
 
+def test_microbatcher_coalesces_concurrent_requests():
+    """N concurrent submits -> ONE bucketed device call, results identical
+    to the direct per-item path (serve/demo_server.MicroBatcher)."""
+    import threading
+
+    from vqa_counterexamples_tpu.serve.demo_server import MicroBatcher
+
+    engine, _, _ = _tiny_serving_engine()
+    calls = []
+    real_predict = engine.predict_prepared
+
+    def counting_predict(images, wids):
+        calls.append(images.shape[0])
+        return real_predict(images, wids)
+
+    engine.predict_prepared = counting_predict
+
+    # autostart=False: enqueue all requests BEFORE the batch loop starts, so
+    # the coalescing assertion is deterministic on any machine
+    batcher = MicroBatcher(engine, max_wait_ms=50.0, autostart=False)
+    items = [{"visual": _jpeg_b64(i), "question": "what color is the w%d" % i}
+             for i in range(5)]
+    results: list = [None] * len(items)
+    errors: list = []
+
+    def worker(j):
+        try:
+            results[j] = batcher.submit(items[j])
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    threads = [threading.Thread(target=worker, args=(j,))
+               for j in range(len(items))]
+    for t in threads:
+        t.start()
+    # wait until every request thread has prepared + enqueued
+    import time
+    deadline = time.time() + 30
+    while batcher.pending() < len(items) and time.time() < deadline:
+        time.sleep(0.01)
+    assert batcher.pending() == len(items)
+    batcher.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errors
+    assert calls == [5], calls  # one coalesced device call (bucket 8)
+
+    direct = engine.answer_batch(items)
+    for got, want in zip(results, direct):
+        assert got["ans"] == want["ans"]
+        np.testing.assert_allclose(got["val"], want["val"], atol=1e-3)
+
+
+def test_microbatcher_propagates_errors_to_all_waiters():
+    import threading
+
+    from vqa_counterexamples_tpu.serve.demo_server import MicroBatcher
+
+    engine, _, _ = _tiny_serving_engine()
+
+    def boom(images, wids):
+        raise RuntimeError("device on fire")
+
+    engine.predict_prepared = boom
+    batcher = MicroBatcher(engine, max_wait_ms=20.0, autostart=False)
+    item = {"visual": _jpeg_b64(0), "question": "what"}
+    caught = []
+
+    def worker():
+        try:
+            batcher.submit(item)
+        except RuntimeError as exc:
+            caught.append(str(exc))
+
+    threads = [threading.Thread(target=worker) for _ in range(2)]
+    for t in threads:
+        t.start()
+    import time
+    deadline = time.time() + 30
+    while batcher.pending() < 2 and time.time() < deadline:
+        time.sleep(0.01)
+    batcher.start()
+    for t in threads:
+        t.join(timeout=60)
+    assert caught == ["device on fire"] * 2
+
+
 def test_uint8_device_normalize_matches_host_preprocess():
     # the serving/extract split transform (host Scale+CenterCrop uint8 +
     # device ToTensor+Normalize) must reproduce the reference one-shot

@@ -180,6 +180,42 @@ class DemoEngine:
             pngs.append(base64.b64encode(buf.getvalue()).decode())
         return pngs
 
+    # -- serving pipeline stages (prepare in the request thread, predict as
+    # -- one bucketed device call, format back in the request thread) -------
+
+    def prepare(self, item: dict):
+        """Host half of one request: b64 decode + resize + tokenize."""
+        return (self._decode_image(item["visual"]),
+                self.encode_question(item["question"]))
+
+    def predict_prepared(self, images, wids):
+        """(n, H, W, 3) uint8 + (n, T) i32 -> per-item (vals, idxs, att)
+        numpy rows, via ONE device call padded to a power-of-two bucket."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        n = images.shape[0]
+        bucket = _next_bucket(n)
+        if bucket > n:  # pad tail rows; results are sliced back to n
+            images = np.concatenate(
+                [images, np.zeros((bucket - n,) + images.shape[1:],
+                                  images.dtype)])
+            wids = np.concatenate(
+                [wids, np.zeros((bucket - n, wids.shape[1]), wids.dtype)])
+        with self._lock:
+            params = self.vqa_params
+        vals, idxs, att = self._predict(params, jnp.asarray(images),
+                                        jnp.asarray(wids))
+        return (np.asarray(vals)[:n], np.asarray(idxs)[:n],
+                np.asarray(att)[:n])
+
+    def format_result(self, vals, idxs, att) -> dict:
+        """One item's device outputs -> the response dict (att maps as b64
+        PNGs, top-5 answer strings)."""
+        return {"ans": [self.vocab_answers[i] for i in idxs],
+                "val": [float(v) for v in vals],
+                "att": self._att_pngs(att)}
+
     def answer_batch(self, items: list[dict]) -> list[dict]:
         """All items in one device call (padded to a power-of-two bucket)."""
         import numpy as np
@@ -191,37 +227,105 @@ class DemoEngine:
                              % (len(items), MAX_BATCH))
         # serial decode: a thread pool measured SLOWER here (GIL contention
         # in the PIL resize path, 53 vs 17 ms/item at /batch 32)
-        images = np.stack([self._decode_image(it["visual"]) for it in items])
-        wids = np.stack([self.encode_question(it["question"])
-                         for it in items])
-        n = len(items)
-        bucket = _next_bucket(n)
-        if bucket > n:  # pad tail rows; results are sliced back to n
-            images = np.concatenate(
-                [images, np.zeros((bucket - n,) + images.shape[1:],
-                                  images.dtype)])
-            wids = np.concatenate(
-                [wids, np.zeros((bucket - n, wids.shape[1]), wids.dtype)])
-        import jax.numpy as jnp
-
-        with self._lock:
-            params = self.vqa_params
-        vals, idxs, att = self._predict(params, jnp.asarray(images),
-                                        jnp.asarray(wids))
-        vals = np.asarray(vals)[:n]
-        idxs = np.asarray(idxs)[:n]
-        att = np.asarray(att)[:n]
-        return [{"ans": [self.vocab_answers[i] for i in idxs[j]],
-                 "val": [float(v) for v in vals[j]],
-                 "att": self._att_pngs(att[j])} for j in range(n)]
+        prepared = [self.prepare(it) for it in items]
+        images = np.stack([p[0] for p in prepared])
+        wids = np.stack([p[1] for p in prepared])
+        vals, idxs, att = self.predict_prepared(images, wids)
+        return [self.format_result(vals[j], idxs[j], att[j])
+                for j in range(len(items))]
 
     def answer(self, image_b64: str, question: str) -> dict:
         return self.answer_batch(
             [{"visual": image_b64, "question": question}])[0]
 
 
+class MicroBatcher:
+    """Coalesce concurrent single requests into one device call.
+
+    The TPU serves a batch of 32 in barely more time than a batch of 1
+    (the 448^2 ResNet forward is compute-dense and the dispatch latency
+    through a tunneled runtime dominates small batches), so under
+    concurrent load the right serving shape is: collect requests for up to
+    ``max_wait_ms`` (or until ``max_batch``), run ONE bucketed forward,
+    fan the rows back out.  Request threads do their own decode/tokenize
+    before enqueueing and their own response formatting after — only the
+    device call is shared.  The reference serves strictly one request per
+    forward (demo_server.py:44-66).
+
+    A lone request pays at most ``max_wait_ms`` extra latency; a burst of
+    N pays one device call instead of N.  ``submit`` blocks until the
+    result row is ready and re-raises any batch-level failure in the
+    caller's thread.
+    """
+
+    def __init__(self, engine: DemoEngine, max_batch: int = MAX_BATCH,
+                 max_wait_ms: float = 4.0, autostart: bool = True):
+        import queue
+
+        self.engine = engine
+        self.max_batch = max_batch
+        self.max_wait_s = max_wait_ms / 1000.0
+        self._q = queue.Queue()
+        self._thread = None
+        if autostart:
+            self.start()
+
+    def start(self) -> None:
+        if self._thread is None:
+            self._thread = threading.Thread(target=self._loop, daemon=True)
+            self._thread.start()
+
+    def pending(self) -> int:
+        return self._q.qsize()
+
+    def submit(self, item: dict) -> dict:
+        """Prepare in this thread, coalesce the device call, format here."""
+        prepared = self.engine.prepare(item)
+        done = threading.Event()
+        slot: dict = {}
+        self._q.put((prepared, done, slot))
+        done.wait()
+        if "error" in slot:
+            raise slot["error"]
+        vals, idxs, att = slot["row"]
+        return self.engine.format_result(vals, idxs, att)
+
+    def _loop(self) -> None:
+        import queue
+        import time
+
+        while True:
+            entries = [self._q.get()]
+            deadline = time.monotonic() + self.max_wait_s
+            while len(entries) < self.max_batch:
+                timeout = deadline - time.monotonic()
+                if timeout <= 0:
+                    break
+                try:
+                    entries.append(self._q.get(timeout=timeout))
+                except queue.Empty:
+                    break
+            self._run(entries)
+
+    def _run(self, entries: list) -> None:
+        import numpy as np
+
+        try:
+            images = np.stack([e[0][0] for e in entries])
+            wids = np.stack([e[0][1] for e in entries])
+            vals, idxs, att = self.engine.predict_prepared(images, wids)
+            for j, (_, done, slot) in enumerate(entries):
+                slot["row"] = (vals[j], idxs[j], att[j])
+                done.set()
+        except Exception as exc:  # noqa: BLE001 — re-raised in each caller
+            for _, done, slot in entries:
+                slot["error"] = exc
+                done.set()
+
+
 def make_handler(engine: DemoEngine, web_dir: str | None,
-                 ckpt_root: str | None = None):
+                 ckpt_root: str | None = None,
+                 batcher: MicroBatcher | None = None):
     class Handler(BaseHTTPRequestHandler):
         def _cors(self):
             self.send_header("Access-Control-Allow-Origin", "*")
@@ -284,6 +388,10 @@ def make_handler(engine: DemoEngine, web_dir: str | None,
                         raise KeyError("unknown checkpoint: %s" % wanted)
                     engine.load_checkpoint(match[0]["path"])
                     out = {"ok": True, "loaded": match[0]}
+                elif batcher is not None:
+                    # concurrent single requests coalesce into one device
+                    # call (ThreadingHTTPServer gives each request a thread)
+                    out = batcher.submit(payload)
                 else:
                     out = engine.answer(payload["visual"],
                                         payload["question"])
@@ -312,6 +420,10 @@ def main(argv=None):
                         help="processed dir with vocab pickles")
     parser.add_argument("--serve_web", action="store_true",
                         help="also serve the bundled demo_web client")
+    parser.add_argument("--batch_window_ms", type=float, default=4.0,
+                        help="micro-batching window for POST /: concurrent "
+                             "single requests within this window coalesce "
+                             "into one device call (0 disables)")
     args = parser.parse_args(argv)
 
     from ..core import checkpoint as ckpt_lib
@@ -377,8 +489,11 @@ def main(argv=None):
 
     web_dir = (os.path.join(os.path.dirname(__file__), "demo_web")
                if args.serve_web else None)
+    batcher = (MicroBatcher(engine, max_wait_ms=args.batch_window_ms)
+               if args.batch_window_ms > 0 else None)
     server = ThreadingHTTPServer(
-        (args.ip, args.port), make_handler(engine, web_dir, args.ckpt_root))
+        (args.ip, args.port), make_handler(engine, web_dir, args.ckpt_root,
+                                           batcher))
     print("Serving VQA demo on http://%s:%d" % (args.ip, args.port))
     server.serve_forever()
 
