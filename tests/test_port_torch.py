@@ -342,6 +342,89 @@ def test_port_neural_cx_forward_parity():
     np.testing.assert_allclose(ours, oracle, rtol=1e-4, atol=1e-5)
 
 
+def test_port_pairwise_and_contrastive_forward_parity():
+    """The simpler CX heads port too: PairwiseModel (cx.py:336-376) and
+    ContrastiveModel (cx.py:428-476; its dangling answer_embedding param is
+    dropped — never read in forward)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vqa_counterexamples_tpu.models import cx as cx_mod
+
+    K = 3
+    rng = np.random.default_rng(5)
+    feats = rng.normal(size=(B, K + 1, DIM_V)).astype(np.float32)
+    wids = _wids()
+    aids = rng.integers(0, NANS, size=(B,)).astype(np.int32)
+    words = ["w%d" % i for i in range(V)]
+    answers = ["a%d" % i for i in range(NANS)]
+
+    class TorchPairwise(nn.Module):
+        def __init__(self, vqa):
+            super().__init__()
+            self.vqa_model = vqa
+            self.linear = nn.Linear(2 * DIM_V + DIM_Q + FUS["dim_mm"], 300)
+            self.out = nn.Linear(300, 1)
+
+        def forward(self, feats, wids):
+            bsz = feats.shape[0]
+            v_orig = feats[:, 0]
+            q = self.vqa_model.seq2vec(wids)
+            v_all = feats.reshape(bsz * (K + 1), -1)
+            q_dup = q[:, None, :].expand(bsz, K + 1, -1) \
+                .reshape(bsz * (K + 1), -1)
+            z = self.vqa_model.fusion(v_all, q_dup).view(bsz, K + 1, -1)
+            scores = []
+            for i in range(K):
+                x = torch.cat([v_orig, feats[:, i + 1], q, z[:, i + 1]],
+                              dim=1)
+                scores.append(F.relu(self.out(F.relu(self.linear(x)))))
+            return torch.cat(scores, dim=1)
+
+    class TorchContrastive(nn.Module):
+        def __init__(self, vqa):
+            super().__init__()
+            self.vqa_model = vqa
+            self.answer_embedding = nn.Embedding(NANS, 300)  # dangling
+            self.linear = nn.Linear(DIM_V + FUS["dim_mm"], 300)
+
+        def forward(self, feats, wids):
+            bsz = feats.shape[0]
+            q = self.vqa_model.seq2vec(wids)
+            v_all = feats.reshape(bsz * (K + 1), -1)
+            q_dup = q[:, None, :].expand(bsz, K + 1, -1) \
+                .reshape(bsz * (K + 1), -1)
+            z = self.vqa_model.fusion(v_all, q_dup).view(bsz, K + 1, -1)
+            return F.relu(self.linear(torch.cat([feats, z], dim=2)))
+
+    for torch_cls, flax_name, apply_kwargs in (
+            (TorchPairwise, "PairwiseModel", {}),
+            (TorchContrastive, "ContrastiveModel", {})):
+        torch.manual_seed(6)
+        tmodel = torch_cls(TorchMutanNoAtt(_noatt_opt()["fusion"])).eval()
+        vqa_model = factory.factory_vqa(_noatt_opt(), words, answers)
+        if flax_name == "PairwiseModel":
+            model = cx_mod.PairwiseModel(vqa_model=vqa_model, knn_size=K,
+                                         trainable_vqa=False)
+        else:
+            model = cx_mod.ContrastiveModel(vqa_model=vqa_model, knn_size=K,
+                                            trainable_vqa=False)
+        template = _init_flax(model, jnp.asarray(feats), jnp.asarray(wids),
+                              jnp.asarray(aids))
+        ported, cx_name, _ = port_torch.port_cx_state_dict(
+            tmodel.state_dict(), cx_model=flax_name)
+        assert cx_name == flax_name
+        params = port_torch.graft(template, ported)
+        with torch.no_grad():
+            oracle = tmodel(torch.from_numpy(feats),
+                            torch.from_numpy(wids.astype(np.int64))).numpy()
+        ours = np.asarray(model.apply(
+            {"params": params}, jnp.asarray(feats), jnp.asarray(wids),
+            jnp.asarray(aids), deterministic=True,
+            rngs={"lesion": jax.random.key(0)}, **apply_kwargs))
+        np.testing.assert_allclose(ours, oracle, rtol=1e-4, atol=1e-5)
+
+
 def test_port_uniskip_gru_forward_parity():
     """seq2vec keys of a UniSkip-style torch GRU (embedding + nn.GRU) port
     into our SkipThoughts module and reproduce the torch forward."""
