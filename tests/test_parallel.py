@@ -90,3 +90,31 @@ def test_dp_epoch_runs_sharded():
             state, m = train_step(state, features,
                                   shard_batch(batch, mesh), nv)
     assert np.isfinite(float(m["loss"]))
+
+
+def test_distributed_flag_helpers(monkeypatch):
+    """--distributed: off by default (no-op), on -> jax.distributed.initialize.
+
+    Multi-host bootstrap for pod-slice runs (replaces the implicit NCCL
+    inside the reference's nn.DataParallel, SURVEY.md section 2.4); the
+    actual cross-host path needs a real slice, so here we pin the CLI
+    contract: parser default False, no-op unless set, initialize() called
+    exactly once (before any mesh construction) when set.
+    """
+    import argparse
+
+    from vqa_counterexamples_tpu.parallel import (add_distributed_flag,
+                                                  maybe_initialize_distributed)
+
+    parser = argparse.ArgumentParser()
+    add_distributed_flag(parser)
+    assert parser.parse_args([]).distributed is False
+    assert parser.parse_args(["--distributed"]).distributed is True
+
+    calls = []
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda *a, **k: calls.append(1))
+    maybe_initialize_distributed(parser.parse_args([]))
+    assert calls == []
+    maybe_initialize_distributed(parser.parse_args(["--distributed"]))
+    assert calls == [1]

@@ -93,6 +93,8 @@ def build_parser() -> argparse.ArgumentParser:
                         help="data-parallel mesh spec, e.g. 'data=8': shards "
                              "the batch over devices, replicates params "
                              "(gradient all-reduce over ICI)")
+    from ..parallel import add_distributed_flag
+    add_distributed_flag(parser)
     parser.add_argument("--init_params", type=str, default=None,
                         help="msgpack params file to graft over the "
                              "initialized CX params (e.g. a reference torch "
@@ -167,6 +169,8 @@ def main(argv=None):
     from ..models.cx import init_answer_embedding
 
     args = build_parser().parse_args(argv)
+    from ..parallel import maybe_initialize_distributed
+    maybe_initialize_distributed(args)
 
     # ---- options (CLI non-None > YAML > defaults; reference :100-114) ----
     cli_overrides = {

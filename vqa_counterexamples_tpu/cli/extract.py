@@ -67,6 +67,8 @@ def build_parser():
                         help="shard each image batch over a device mesh, "
                              "e.g. 'data=8' (the reference wraps the CNN in "
                              "nn.DataParallel, extract.py:49)")
+    from ..parallel import add_distributed_flag
+    add_distributed_flag(parser)
     return parser
 
 
@@ -77,6 +79,8 @@ def main(argv=None):
     from ..models import convnets
 
     args = build_parser().parse_args(argv)
+    from ..parallel import maybe_initialize_distributed
+    maybe_initialize_distributed(args)
 
     model = convnets.factory({"arch": args.arch, "pooling": False})
     params = convnets.init_resnet(model, image_size=args.size)

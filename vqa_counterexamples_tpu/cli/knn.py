@@ -44,7 +44,11 @@ def main(argv=None):
                         help="shard the corpus rows over a mesh axis, e.g. "
                              "'data=8': local top-k per shard + all-gather "
                              "merge (ops/topk.sharded_knn_chunk)")
+    from ..parallel import add_distributed_flag
+    add_distributed_flag(parser)
     args = parser.parse_args(argv)
+    from ..parallel import maybe_initialize_distributed
+    maybe_initialize_distributed(args)
 
     from ..data.features import FeatureStore
     from ..data.vqacx import coco_name_to_num

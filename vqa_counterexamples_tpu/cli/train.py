@@ -43,6 +43,8 @@ def build_parser():
                              "each batch over devices, replicates params "
                              "(gradient all-reduce over ICI)")
     parser.add_argument("--seed", type=int, default=42)
+    from ..parallel import add_distributed_flag
+    add_distributed_flag(parser)
     return parser
 
 
@@ -94,6 +96,8 @@ def main(argv=None):
     from ..models import factory
 
     args = build_parser().parse_args(argv)
+    from ..parallel import maybe_initialize_distributed
+    maybe_initialize_distributed(args)
     options = config_lib.resolve_options({}, args.path_opt, {
         "logs": {"dir_logs": args.dir_logs},
         "optim": {"lr": args.learning_rate, "batch_size": args.batch_size,

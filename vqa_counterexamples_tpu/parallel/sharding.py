@@ -51,6 +51,33 @@ def mesh_from_spec(spec: str | None):
     return make_mesh(axes, jax.devices()[:n_dev])
 
 
+def add_distributed_flag(parser) -> None:
+    """`--distributed` on the heavy CLIs: multi-host (pod-slice) bootstrap."""
+    parser.add_argument("--distributed", action="store_true",
+                        help="call jax.distributed.initialize() before any "
+                             "device use (multi-host pod-slice runs; the "
+                             "coordinator/process env comes from the TPU VM "
+                             "runtime).  Mesh axes given via --mesh then "
+                             "span every host's devices")
+
+
+def maybe_initialize_distributed(args) -> None:
+    """Multi-host bootstrap, upstream of any mesh construction.
+
+    After this, ``jax.devices()`` sees every host's chips and the same
+    ``make_mesh``/``shard_batch`` code shards over ICI within a host and
+    DCN across hosts — ``shard_batch``'s global-array ``device_put`` is
+    multi-process-correct as long as every host builds the full batch.
+    """
+    if getattr(args, "distributed", False):
+        import jax
+
+        jax.distributed.initialize()
+        print("=> jax.distributed initialized: process %d/%d, %d devices"
+              % (jax.process_index(), jax.process_count(),
+                 jax.device_count()))
+
+
 def mesh_context(mesh):
     """`with mesh_context(mesh):` — jax.set_mesh, or a no-op for None."""
     import contextlib
