@@ -137,6 +137,7 @@ def main(argv=None):
         return att, noatt
 
     # ---- enumerate inputs ----
+    load_batch = None
     if args.synthetic:
         names = ["synthetic_%06d.jpg" % i for i in range(args.synthetic)]
         rng = np.random.default_rng(0)
@@ -166,6 +167,21 @@ def main(argv=None):
                 # inside the jitted forward (identical numerics)
                 return convnets.preprocess_image_uint8(img.convert("RGB"),
                                                        args.size)
+
+        # GIL-free libjpeg decode pool (native/image_decoder.cpp) — PIL
+        # threads cannot scale decode past ~1 core; the native batch call
+        # is byte-exact with the PIL path (tests/test_native_decoder.py)
+        # and falls back to it per-image for PNG/exotic color spaces
+        from ..data.native_decoder import NativeImageDecoder
+
+        native_dec = NativeImageDecoder(n_threads=args.workers)
+        if native_dec.available:
+            def load_batch(batch_names):
+                paths = [os.path.join(img_dir, nm) for nm in batch_names]
+                out, ok = native_dec.decode_files(paths, size=args.size)
+                for i in np.flatnonzero(~ok):
+                    out[i] = load(batch_names[i])
+                return out
 
     n = len(names)
     print("Extracting %d images (%s)" % (n, args.data_split))
@@ -199,6 +215,8 @@ def main(argv=None):
 
         def decode_batch(start):
             batch_names = names[start:start + args.batch_size]
+            if load_batch is not None:
+                return load_batch(batch_names)
             return np.stack(list(pool.map(load, batch_names)))
 
         # double buffering: decode batch i+1 while the device runs batch i

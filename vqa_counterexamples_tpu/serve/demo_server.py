@@ -157,13 +157,31 @@ class DemoEngine:
         return out
 
     def _decode_image(self, image_b64: str):
+        raw = base64.b64decode(image_b64.split(",")[-1])
+        return self._decode_raw(raw)
+
+    def _decode_raw(self, raw: bytes):
+        # GIL-free libjpeg decode (byte-exact with the PIL path,
+        # tests/test_native_decoder.py); PIL handles PNG/exotic spaces
+        dec = self._native_decoder()
+        if dec is not None:
+            out, ok = dec.decode_buffers([raw], size=self.size)
+            if bool(ok[0]):
+                return out[0]
         from PIL import Image
 
         from ..models.convnets import preprocess_image_uint8
 
-        raw = base64.b64decode(image_b64.split(",")[-1])
         img = Image.open(io.BytesIO(raw)).convert("RGB")
         return preprocess_image_uint8(img, size=self.size)
+
+    def _native_decoder(self):
+        if not hasattr(self, "_native_dec"):
+            from ..data.native_decoder import NativeImageDecoder
+
+            dec = NativeImageDecoder()
+            self._native_dec = dec if dec.available else None
+        return self._native_dec
 
     def _att_pngs(self, att) -> list:
         from PIL import Image
@@ -225,11 +243,28 @@ class DemoEngine:
         if len(items) > MAX_BATCH:
             raise ValueError("batch too large: %d > %d"
                              % (len(items), MAX_BATCH))
-        # serial decode: a thread pool measured SLOWER here (GIL contention
-        # in the PIL resize path, 53 vs 17 ms/item at /batch 32)
-        prepared = [self.prepare(it) for it in items]
-        images = np.stack([p[0] for p in prepared])
-        wids = np.stack([p[1] for p in prepared])
+        # one native batch decode (C++ thread pool, no GIL); per-item PIL
+        # only for rows the native decoder punts on.  A Python thread pool
+        # measured SLOWER here (GIL contention in the PIL resize path,
+        # 53 vs 17 ms/item at /batch 32) — the C call sidesteps that.
+        dec = self._native_decoder()
+        if dec is not None and len(items) > 1:
+            raws = [base64.b64decode(it["visual"].split(",")[-1])
+                    for it in items]
+            images, ok = dec.decode_buffers(raws, size=self.size)
+            for i in np.flatnonzero(~ok):
+                from PIL import Image
+
+                from ..models.convnets import preprocess_image_uint8
+
+                images[i] = preprocess_image_uint8(
+                    Image.open(io.BytesIO(raws[i])).convert("RGB"),
+                    size=self.size)
+        else:
+            images = np.stack([self._decode_image(it["visual"])
+                               for it in items])
+        wids = np.stack([self.encode_question(it["question"])
+                         for it in items])
         vals, idxs, att = self.predict_prepared(images, wids)
         return [self.format_result(vals[j], idxs[j], att[j])
                 for j in range(len(items))]
