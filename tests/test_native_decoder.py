@@ -115,3 +115,32 @@ def test_unavailable_decoder_degrades():
         dec._lib = None
     out, ok = dec.decode_buffers([b"xx"], size=32)
     assert not ok.any() and out.shape == (1, 32, 32, 3)
+
+
+def test_extract_cli_mixed_jpeg_png(tmp_path):
+    """The extract CLI's native batch decode falls back to PIL per-item:
+    a PNG in the image dir (listed by the reference's images.py:27-50
+    extension filter) must extract identically to its JPEG siblings'
+    pipeline rather than crash or zero out."""
+    from PIL import Image
+
+    from vqa_counterexamples_tpu.cli import extract as extract_cli
+    from vqa_counterexamples_tpu.data.features import FeatureStore
+
+    img_dir = tmp_path / "raw" / "val2014"
+    img_dir.mkdir(parents=True)
+    rng = np.random.default_rng(7)
+    for i in range(3):
+        arr = rng.integers(0, 255, size=(90, 80, 3)).astype(np.uint8)
+        Image.fromarray(arr).save(img_dir / ("img_%d.jpg" % i))
+    png_arr = rng.integers(0, 255, size=(90, 80, 3)).astype(np.uint8)
+    Image.fromarray(png_arr).save(img_dir / "img_3.png")
+
+    prefix = extract_cli.main([
+        "--dir_data", str(tmp_path), "--data_split", "val",
+        "--arch", "resnet50", "--size", "64", "-b", "2", "--mode", "noatt"])
+    store = FeatureStore.load(prefix)
+    assert store.features.shape == (4, 2048)
+    assert np.isfinite(store.features).all()
+    # the PNG row went through the PIL fallback, not left as zeros
+    assert np.abs(store.features[store.names.index("img_3.png")]).sum() > 0
