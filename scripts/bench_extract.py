@@ -24,6 +24,15 @@ def main():
     ap.add_argument("--batch", type=int, default=80)
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--size", type=int, default=448)
+    ap.add_argument("--end_to_end", action="store_true",
+                    help="measure the full extract pipeline — native JPEG "
+                         "decode (native/image_decoder.cpp) double-buffered "
+                         "against the device forward — instead of "
+                         "device-only throughput.  Writes synthetic "
+                         "COCO-sized JPEGs to a temp dir first; the "
+                         "steady-state rate is min(decode, device) and "
+                         "decode scales with host cores (GIL-free)")
+    ap.add_argument("--arch", type=str, default="fbresnet152")
     args = ap.parse_args()
 
     import jax
@@ -38,7 +47,7 @@ def main():
     from vqa_counterexamples_tpu.core.profiler import hard_sync
     from vqa_counterexamples_tpu.models import convnets
 
-    model = convnets.factory({"arch": "fbresnet152"})
+    model = convnets.factory({"arch": args.arch})
     params = convnets.init_resnet(model, image_size=args.size)
 
     # params as an argument: closed-over params become compile-time
@@ -48,6 +57,75 @@ def main():
         att = model.apply({"params": params}, batch)       # (B, 14, 14, 2048)
         noatt = att.mean(axis=(1, 2))                      # true mean, extract.py:123-124
         return att, noatt
+
+    if args.end_to_end:
+        import io
+        import tempfile
+        from concurrent.futures import ThreadPoolExecutor
+
+        from PIL import Image
+
+        from vqa_counterexamples_tpu.data.native_decoder import \
+            NativeImageDecoder
+        from vqa_counterexamples_tpu.models.convnets import \
+            normalize_images_device
+
+        rng = np.random.default_rng(0)
+        n_images = args.batch * (args.steps + 1)
+        tmpdir = tempfile.mkdtemp(prefix="bench_extract_")
+        paths = []
+        base = []
+        for i in range(16):  # 16 distinct COCO-sized JPEGs, cycled
+            x = (np.linspace(0, 255, 640)[None, :]
+                 + rng.normal(0, 25, (480, 640))).clip(0, 255)
+            img = np.stack([x, np.roll(x, 9, 1), 255 - x],
+                           -1).astype(np.uint8)
+            buf = io.BytesIO()
+            Image.fromarray(img).save(buf, "JPEG", quality=90)
+            base.append(buf.getvalue())
+        for i in range(n_images):
+            p = os.path.join(tmpdir, "img_%05d.jpg" % i)
+            with open(p, "wb") as f:
+                f.write(base[i % 16])
+            paths.append(p)
+
+        decoder = NativeImageDecoder()
+
+        @jax.jit
+        def forward_u8(params, batch_u8):
+            x = normalize_images_device(batch_u8)
+            att = model.apply({"params": params}, x)
+            return att, att.mean(axis=(1, 2))
+
+        def decode(start):
+            out, ok = decoder.decode_files(
+                paths[start:start + args.batch], size=args.size)
+            assert ok.all()
+            return out
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            out = forward_u8(params, decode(0))  # compile
+            hard_sync(out)
+            future = pool.submit(decode, 0)
+            t0 = time.time()
+            for step in range(args.steps):
+                batch_u8 = future.result()
+                future = pool.submit(decode, (step + 1) * args.batch)
+                out = forward_u8(params, batch_u8)
+            hard_sync(out)
+            dt = time.time() - t0
+        print(json.dumps({
+            "metric": "resnet_extract_end_to_end_images_per_sec",
+            "value": round(args.batch * args.steps / dt, 1),
+            "unit": "images/sec (decode+device)",
+            "batch_size": args.batch,
+            "image_size": args.size,
+            "arch": args.arch,
+            "native_decoder": decoder.available,
+            "host_cores": os.cpu_count(),
+            "device": jax.devices()[0].device_kind,
+        }))
+        return
 
     rng = np.random.default_rng(0)
     batch = jnp.asarray(
