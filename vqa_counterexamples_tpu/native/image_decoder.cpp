@@ -199,7 +199,11 @@ bool decode_jpeg(const uint8_t* buf, size_t len, std::vector<uint8_t>* pixels,
   const int w = static_cast<int>(cinfo.output_width);
   const int h = static_cast<int>(cinfo.output_height);
   const int ch = cinfo.output_components;
-  if (w <= 0 || h <= 0 || (ch != 1 && ch != 3)) {
+  // reject absurd header dimensions (a crafted 65k x 65k header would
+  // otherwise attempt a ~12 GB allocation and abort the worker thread)
+  constexpr int64_t kMaxPixels = 128LL * 1024 * 1024;
+  if (w <= 0 || h <= 0 || (ch != 1 && ch != 3) ||
+      static_cast<int64_t>(w) * h > kMaxPixels) {
     jpeg_destroy_decompress(&cinfo);
     return false;
   }
