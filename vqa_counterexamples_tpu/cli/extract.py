@@ -58,7 +58,11 @@ def build_parser():
                              "stock numpy can open them")
     parser.add_argument("--size", default=448, type=int)
     parser.add_argument("-b", "--batch_size", default=80, type=int)
-    parser.add_argument("--workers", default=8, type=int)
+    parser.add_argument("--workers", default=0, type=int,
+                        help="decode threads (0 = all host cores; the "
+                             "native decoder is GIL-free so it scales "
+                             "linearly, unlike the reference's 4 PIL "
+                             "worker processes)")
     parser.add_argument("--weights", default=None, type=str,
                         help="torch state_dict .pth to port (else random)")
     parser.add_argument("--synthetic", type=int, default=0, metavar="N",
@@ -174,7 +178,7 @@ def main(argv=None):
         # and falls back to it per-image for PNG/exotic color spaces
         from ..data.native_decoder import NativeImageDecoder
 
-        native_dec = NativeImageDecoder(n_threads=args.workers)
+        native_dec = NativeImageDecoder(n_threads=args.workers or None)
         if native_dec.available:
             def load_batch(batch_names):
                 paths = [os.path.join(img_dir, nm) for nm in batch_names]
@@ -201,8 +205,14 @@ def main(argv=None):
     else:
         feat_dtype = disk_dtype = np.dtype(np.float32)
     att_npy_tmp = prefix + ".att.tmp.npy"
+    # prefetcher: a DEDICATED single thread runs decode_batch so the image
+    # pool below is never deadlocked by its own consumer (decode_batch maps
+    # per-image work onto `pool`; submitting it to the same pool would
+    # deadlock at max_workers=1)
     with h5py.File(prefix + ".hdf5", "w") as h5, \
-            ThreadPoolExecutor(max_workers=args.workers) as pool:
+            ThreadPoolExecutor(max_workers=1) as prefetcher, \
+            ThreadPoolExecutor(
+                max_workers=args.workers or os.cpu_count() or 1) as pool:
         ds_att = mm_att = None
         if want_att and args.att_store in ("hdf5", "both"):
             ds_att = h5.create_dataset(
@@ -220,14 +230,14 @@ def main(argv=None):
             return np.stack(list(pool.map(load, batch_names)))
 
         # double buffering: decode batch i+1 while the device runs batch i
-        future = pool.submit(decode_batch, 0)
+        future = prefetcher.submit(decode_batch, 0)
         t0 = time.time()
         done = 0
         for start in range(0, n, args.batch_size):
             batch = future.result()
             nxt = start + args.batch_size
             if nxt < n:
-                future = pool.submit(decode_batch, nxt)
+                future = prefetcher.submit(decode_batch, nxt)
             att, noatt = run_forward(batch)
             end = start + batch.shape[0]
             if ds_att is not None:
