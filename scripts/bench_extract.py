@@ -70,6 +70,14 @@ def main():
         from vqa_counterexamples_tpu.models.convnets import \
             normalize_images_device
 
+        decoder = NativeImageDecoder()
+        if not decoder.available:
+            print(json.dumps({"metric":
+                              "resnet_extract_end_to_end_images_per_sec",
+                              "error": "native decoder unavailable "
+                                       "(no g++/libjpeg on this host)"}))
+            return
+
         rng = np.random.default_rng(0)
         n_images = args.batch * (args.steps + 1)
         tmpdir = tempfile.mkdtemp(prefix="bench_extract_")
@@ -89,8 +97,6 @@ def main():
                 f.write(base[i % 16])
             paths.append(p)
 
-        decoder = NativeImageDecoder()
-
         @jax.jit
         def forward_u8(params, batch_u8):
             x = normalize_images_device(batch_u8)
@@ -103,17 +109,22 @@ def main():
             assert ok.all()
             return out
 
-        with ThreadPoolExecutor(max_workers=1) as pool:
-            out = forward_u8(params, decode(0))  # compile
-            hard_sync(out)
-            future = pool.submit(decode, 0)
-            t0 = time.time()
-            for step in range(args.steps):
-                batch_u8 = future.result()
-                future = pool.submit(decode, (step + 1) * args.batch)
-                out = forward_u8(params, batch_u8)
-            hard_sync(out)
-            dt = time.time() - t0
+        try:
+            with ThreadPoolExecutor(max_workers=1) as pool:
+                out = forward_u8(params, decode(0))  # compile
+                hard_sync(out)
+                future = pool.submit(decode, 0)
+                t0 = time.time()
+                for step in range(args.steps):
+                    batch_u8 = future.result()
+                    future = pool.submit(decode, (step + 1) * args.batch)
+                    out = forward_u8(params, batch_u8)
+                hard_sync(out)
+                dt = time.time() - t0
+        finally:
+            import shutil
+
+            shutil.rmtree(tmpdir, ignore_errors=True)
         print(json.dumps({
             "metric": "resnet_extract_end_to_end_images_per_sec",
             "value": round(args.batch * args.steps / dt, 1),
@@ -121,7 +132,6 @@ def main():
             "batch_size": args.batch,
             "image_size": args.size,
             "arch": args.arch,
-            "native_decoder": decoder.available,
             "host_cores": os.cpu_count(),
             "device": jax.devices()[0].device_kind,
         }))

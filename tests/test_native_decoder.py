@@ -144,3 +144,13 @@ def test_extract_cli_mixed_jpeg_png(tmp_path):
     assert np.isfinite(store.features).all()
     # the PNG row went through the PIL fallback, not left as zeros
     assert np.abs(store.features[store.names.index("img_3.png")]).sum() > 0
+
+
+def test_truncated_jpeg_rejected(decoder):
+    """A half-truncated JPEG decodes 'successfully' in raw libjpeg (gray
+    fill + warning) — PIL raises instead, so the native path must flag it
+    for fallback rather than silently writing a half-gray image into the
+    feature store."""
+    raw = _jpeg_bytes(_smooth_rgb(480, 640, 21))
+    out, ok = decoder.decode_buffers([raw[: len(raw) // 2]], size=64)
+    assert not ok[0]

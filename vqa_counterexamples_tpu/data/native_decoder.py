@@ -29,8 +29,8 @@ import subprocess
 import numpy as np
 
 _LIB = None
-_LIB_FAILED = False
-_ABI_VERSION = 1  # keep in sync with id_abi_version() in image_decoder.cpp
+_LIB_FAILED = False  # only set by a FULL (build=True) attempt failing
+_ABI_VERSION = 2  # keep in sync with id_abi_version() in image_decoder.cpp
 
 
 def _native_dir() -> str:
@@ -39,21 +39,33 @@ def _native_dir() -> str:
 
 
 def load_library(build: bool = True):
-    """Load (building if needed) libimage_decoder.so; None if unavailable."""
+    """Load (building if needed) libimage_decoder.so; None if unavailable.
+
+    A miss with ``build=False`` is NOT cached: a later ``build=True`` caller
+    (the extract CLI, the demo server) must still get its build attempt.
+    The build itself holds an exclusive flock so concurrent processes (e.g.
+    a --distributed multi-host launch sharing a filesystem) don't race g++
+    writing the .so in place."""
     global _LIB, _LIB_FAILED
     if _LIB is not None or _LIB_FAILED:
         return _LIB
     so_path = os.path.join(_native_dir(), "libimage_decoder.so")
     if build:
         try:
-            subprocess.run(["make", "-C", _native_dir(),
-                            "libimage_decoder.so"],
-                           check=True, capture_output=True)
+            import fcntl
+
+            with open(os.path.join(_native_dir(), ".build.lock"), "w") as lk:
+                fcntl.flock(lk, fcntl.LOCK_EX)
+                subprocess.run(["make", "-C", _native_dir(),
+                                "libimage_decoder.so"],
+                               check=True, capture_output=True)
         except Exception as exc:  # noqa: BLE001
             if not os.path.exists(so_path):
                 print("native decoder build failed (%s); using PIL" % exc)
                 _LIB_FAILED = True
                 return None
+    elif not os.path.exists(so_path):
+        return None  # soft miss: leave the build=True path available
     try:
         lib = ctypes.CDLL(so_path)
         lib.id_abi_version.restype = ctypes.c_int32
@@ -62,7 +74,8 @@ def load_library(build: bool = True):
                           % (lib.id_abi_version(), _ABI_VERSION))
     except (OSError, AttributeError) as exc:
         print("native decoder load failed (%s); using PIL" % exc)
-        _LIB_FAILED = True
+        if build:
+            _LIB_FAILED = True
         return None
     u8p = ctypes.POINTER(ctypes.c_uint8)
     i32p = ctypes.POINTER(ctypes.c_int32)

@@ -25,9 +25,13 @@
 #include <algorithm>
 #include <atomic>
 #include <cmath>
+#include <condition_variable>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <deque>
+#include <functional>
+#include <mutex>
 #include <thread>
 #include <vector>
 
@@ -36,7 +40,7 @@
 
 extern "C" {
 
-int32_t id_abi_version() { return 1; }
+int32_t id_abi_version() { return 2; }
 
 }  // extern "C" (reopened below for the entry points)
 
@@ -161,7 +165,11 @@ void jpeg_error_exit(j_common_ptr cinfo) {
   longjmp(err->setjmp_buffer, 1);
 }
 
-void jpeg_silent(j_common_ptr, int) {}
+// silence stderr but keep counting warnings (the stock emit_message does
+// the counting; replacing it without the increment would hide truncation)
+void jpeg_silent(j_common_ptr cinfo, int msg_level) {
+  if (msg_level < 0) cinfo->err->num_warnings++;
+}
 
 // Decode a JPEG byte buffer into interleaved uint8; grayscale stays 1
 // channel (resampled single-channel, expanded at the end — matches PIL
@@ -215,11 +223,16 @@ bool decode_jpeg(const uint8_t* buf, size_t len, std::vector<uint8_t>* pixels,
     jpeg_read_scanlines(&cinfo, rows, 1);
   }
   jpeg_finish_decompress(&cinfo);
+  // Truncated/corrupt streams surface as libjpeg WARNINGS (premature EOF
+  // fills the remainder with gray and keeps going) — PIL raises on those,
+  // so treat any warning as failure rather than silently emitting a
+  // half-gray image into the feature store.
+  const bool clean = cinfo.err->num_warnings == 0;
   jpeg_destroy_decompress(&cinfo);
   *width = w;
   *height = h;
   *channels = ch;
-  return true;
+  return clean;
 }
 
 // Scale (shorter side -> size, aspect kept, round-half-even like Python
@@ -282,22 +295,89 @@ std::vector<uint8_t> read_file(const char* path) {
   return data;
 }
 
+// Persistent process-wide worker pool: serving calls decode per request, so
+// spawning/joining OS threads per call would churn (and oversubscribe under
+// concurrent /batch load).  Threads start lazily on first parallel use and
+// live for the process; per-call parallelism is capped by the caller's
+// n_threads.
+class WorkerPool {
+ public:
+  static WorkerPool& instance() {
+    static WorkerPool pool(
+        std::max(1u, std::thread::hardware_concurrency()));
+    return pool;
+  }
+
+  int size() const { return n_threads_; }
+
+  // Run fn(0..n-1) with at most `width` tasks in flight; blocks until done.
+  void run(int n, int width, const std::function<void(int)>& fn) {
+    std::atomic<int> next(0);
+    std::atomic<int> done(0);
+    std::mutex done_mu;
+    std::condition_variable done_cv;
+    width = std::max(1, std::min({width, n, n_threads_}));
+    auto worker = [&]() {
+      for (int i = next.fetch_add(1); i < n; i = next.fetch_add(1)) fn(i);
+      if (done.fetch_add(1) + 1 == width) {
+        std::lock_guard<std::mutex> lk(done_mu);
+        done_cv.notify_one();
+      }
+    };
+    {
+      std::lock_guard<std::mutex> lk(mu_);
+      for (int t = 0; t < width; t++) queue_.emplace_back(worker);
+    }
+    cv_.notify_all();
+    std::unique_lock<std::mutex> lk(done_mu);
+    done_cv.wait(lk, [&]() { return done.load() == width; });
+  }
+
+ private:
+  explicit WorkerPool(unsigned n) : n_threads_(static_cast<int>(n)) {
+    threads_.reserve(n);
+    for (unsigned t = 0; t < n; t++) {
+      threads_.emplace_back([this]() {
+        for (;;) {
+          std::function<void()> task;
+          {
+            std::unique_lock<std::mutex> lk(mu_);
+            cv_.wait(lk, [this]() { return stop_ || !queue_.empty(); });
+            if (stop_ && queue_.empty()) return;
+            task = std::move(queue_.front());
+            queue_.pop_front();
+          }
+          task();
+        }
+      });
+    }
+  }
+
+  ~WorkerPool() {
+    {
+      std::lock_guard<std::mutex> lk(mu_);
+      stop_ = true;
+    }
+    cv_.notify_all();
+    for (auto& t : threads_) t.join();
+  }
+
+  const int n_threads_;
+  std::vector<std::thread> threads_;
+  std::deque<std::function<void()>> queue_;
+  std::mutex mu_;
+  std::condition_variable cv_;
+  bool stop_ = false;
+};
+
 template <typename Fn>
 void parallel_for(int n, int n_threads, Fn fn) {
   n_threads = std::max(1, std::min(n_threads, n));
-  if (n_threads == 1) {
+  if (n_threads == 1 || n <= 1) {
     for (int i = 0; i < n; i++) fn(i);
     return;
   }
-  std::atomic<int> next(0);
-  std::vector<std::thread> workers;
-  workers.reserve(static_cast<size_t>(n_threads));
-  for (int t = 0; t < n_threads; t++) {
-    workers.emplace_back([&]() {
-      for (int i = next.fetch_add(1); i < n; i = next.fetch_add(1)) fn(i);
-    });
-  }
-  for (auto& w : workers) w.join();
+  WorkerPool::instance().run(n, n_threads, fn);
 }
 
 }  // namespace

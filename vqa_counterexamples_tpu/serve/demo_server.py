@@ -168,6 +168,9 @@ class DemoEngine:
             out, ok = dec.decode_buffers([raw], size=self.size)
             if bool(ok[0]):
                 return out[0]
+        return self._pil_decode(raw)
+
+    def _pil_decode(self, raw: bytes):
         from PIL import Image
 
         from ..models.convnets import preprocess_image_uint8
@@ -253,13 +256,7 @@ class DemoEngine:
                     for it in items]
             images, ok = dec.decode_buffers(raws, size=self.size)
             for i in np.flatnonzero(~ok):
-                from PIL import Image
-
-                from ..models.convnets import preprocess_image_uint8
-
-                images[i] = preprocess_image_uint8(
-                    Image.open(io.BytesIO(raws[i])).convert("RGB"),
-                    size=self.size)
+                images[i] = self._pil_decode(raws[i])
         else:
             images = np.stack([self._decode_image(it["visual"])
                                for it in items])
