@@ -72,6 +72,21 @@ def test_cx_arrays_and_pairwise_view():
     assert (pw.image_idxs[:, 1] != pw.image_idxs[:, 2]).all()
 
 
+def test_synthetic_sampled_knn_structurally_valid():
+    # true_knn=False skips the O(N^2) distance matrix (27 GB host RAM at
+    # COCO scale) but must keep every structural contract: no self in a
+    # knn list, comp present at its knn_index, arrays build cleanly.
+    dataset, store = synthetic.make_synthetic_cx(
+        n_examples=32, n_images=40, dim_v=8, knn_size=5, seed=0,
+        true_knn=False)
+    arrays = vqacx.CXArrays.from_examples(dataset["examples_list"],
+                                          dataset["name_to_index"])
+    assert arrays.image_idxs.shape == (32, 6)
+    for ex in dataset["examples_list"]:
+        assert ex["image_name"] not in ex["knns"]
+        assert ex["knns"][ex["comp"]["knn_index"]] == ex["comp"]["image_name"]
+
+
 def test_batch_indices_padding():
     batches = list(vqacx.batch_indices(10, 4, shuffle=False))
     assert [nv for _, nv in batches] == [4, 4, 2]

@@ -127,6 +127,33 @@ def test_z_cached_training_matches_uncached(setup):
                                    rtol=1e-2, atol=1e-2)
 
 
+def test_z_cache_host_accumulate_and_out_dtype(monkeypatch):
+    # Scale path: past Z_HOST_ACCUM_BYTES the chunks accumulate on host and
+    # upload once (the device-side f32 concat would transiently hold 2x the
+    # table — 15.6 GB at VQA2-CX train scale).  Numerics must be identical,
+    # the result still uncommitted; out_dtype chunk-casting must equal
+    # casting the finished table.
+    # (fresh setup: the shared fixture's state gets donated by the training
+    # test above)
+    model, optimizer, state, features, arrays = _setup()
+    q_table, v_table, z_table = _tables(model, state, features, arrays)
+
+    monkeypatch.setattr(cx_engine, "Z_HOST_ACCUM_BYTES", 0)
+    z_host = cx_engine.precompute_z_emb(model, state.params, features,
+                                        arrays.image_idxs, q_table,
+                                        v_table=v_table, batch_size=20)
+    np.testing.assert_array_equal(np.asarray(z_host), np.asarray(z_table))
+    assert not z_host.committed
+
+    z_bf16 = cx_engine.precompute_z_emb(model, state.params, features,
+                                        arrays.image_idxs, q_table,
+                                        v_table=v_table, batch_size=20,
+                                        out_dtype=jnp.bfloat16)
+    assert z_bf16.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(np.asarray(z_bf16),
+                                  np.asarray(z_table.astype(jnp.bfloat16)))
+
+
 def test_v_emb_lesion_bypasses_z_cache():
     model, optimizer, state, features, arrays = _setup(v_emb=False)
     q_table, v_table, z_table = _tables(model, state, features, arrays)

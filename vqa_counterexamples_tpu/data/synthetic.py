@@ -26,12 +26,18 @@ def make_synthetic_cx(n_examples: int = 256, n_images: int = 128,
                       dim_v: int = 2048, knn_size: int = 24,
                       maxlength: int = 26, n_words: int = 50,
                       n_answers: int = 20, seed: int = 0,
-                      split: str = "train", learnable: bool = True):
+                      split: str = "train", learnable: bool = True,
+                      true_knn: bool = True):
     """Returns (dataset_dict, FeatureStore).
 
     Structure: images have random unit-ish features; each example's KNN list
     is the true nearest neighbors of its image (consistent with the reference
     pipeline), and the comp image is one of them.
+
+    ``true_knn=False`` replaces the exact KNN lists with uniformly-sampled
+    ones: the O(N^2) pairwise-distance matrix is 27 GB of host RAM at COCO
+    scale (82,783 images), far past what throughput/memory soaks need — they
+    only require structurally-valid lists, not geometrically-true ones.
     """
     rng = np.random.default_rng(seed)
     assert n_images > knn_size + 1
@@ -40,15 +46,21 @@ def make_synthetic_cx(n_examples: int = 256, n_images: int = 128,
     names = [vqacx.coco_num_to_name(i, split) for i in range(n_images)]
     store = FeatureStore(features, names)
 
-    # true knn lists (exclude self), sorted ascending distance
-    norms = (features ** 2).sum(1)
-    d2 = norms[:, None] - 2 * features @ features.T + norms[None, :]
-    np.fill_diagonal(d2, np.inf)
-    # argpartition + local sort: O(N^2 + N*k log k), not O(N^2 log N)
-    part = np.argpartition(d2, knn_size, axis=1)[:, :knn_size]
-    part_d = np.take_along_axis(d2, part, axis=1)
-    order = np.argsort(part_d, axis=1)
-    knn_idx = np.take_along_axis(part, order, axis=1)
+    if true_knn:
+        # true knn lists (exclude self), sorted ascending distance
+        norms = (features ** 2).sum(1)
+        d2 = norms[:, None] - 2 * features @ features.T + norms[None, :]
+        np.fill_diagonal(d2, np.inf)
+        # argpartition + local sort: O(N^2 + N*k log k), not O(N^2 log N)
+        part = np.argpartition(d2, knn_size, axis=1)[:, :knn_size]
+        part_d = np.take_along_axis(d2, part, axis=1)
+        order = np.argsort(part_d, axis=1)
+        knn_idx = np.take_along_axis(part, order, axis=1)
+    else:
+        # per-image random candidate lists, offset so entry j != self
+        knn_idx = (np.arange(n_images)[:, None]
+                   + rng.integers(1, n_images,
+                                  size=(n_images, knn_size))) % n_images
 
     vocab_words, vocab_answers = synthetic_vocab(n_words, n_answers)
 

@@ -157,8 +157,13 @@ def precompute_v_proj(model, params, features, batch_size: int = 8192):
     return jnp.concatenate(outs, axis=0)
 
 
+# z tables past this accumulate on host and upload once (precompute_z_emb)
+Z_HOST_ACCUM_BYTES = 2 << 30
+
+
 def precompute_z_emb(model, params, features, image_idxs, q_table,
-                     v_table=None, batch_size: int = 2048):
+                     v_table=None, batch_size: int = 2048,
+                     out_dtype=None):
     """Fuse every (example, candidate) pair through the frozen backbone once.
 
     The q_emb/v_proj caching logic taken to its conclusion: with the VQA
@@ -179,10 +184,20 @@ def precompute_z_emb(model, params, features, image_idxs, q_table,
     ``image_idxs``: (N, K+1) int array (``CXArrays.image_idxs``).
     ``v_table``: optional precomputed v-projections to build from (faster);
     otherwise the fusion v-side runs here once per pair.
+    ``out_dtype``: cast each chunk to this dtype before accumulating
+    (elementwise-identical to casting the finished table — the way the
+    bench stores it bf16 — but never materializes the f32 table).
+
+    Tables past ~2 GB accumulate on the host and upload once: the on-device
+    chunk list + concatenate would otherwise hold 2x the f32 table
+    transiently (15.6 GB at VQA2-CX train scale — past a 16 GB chip), and
+    the host round-trip is what ``as_row_major`` does for the layout re-pin
+    anyway.
     """
     idxs = np.asarray(image_idxs)
     n = idxs.shape[0]
     chunk = min(batch_size, n)
+    on_host = None  # decided from the first chunk's shape/dtype
 
     # params as an argument, not a closure (see precompute_q_emb)
     @jax.jit
@@ -207,7 +222,15 @@ def precompute_z_emb(model, params, features, image_idxs, q_table,
         image_feats = jnp.take(features, jnp.asarray(block), axis=0)
         v_rows = (jnp.take(v_table, jnp.asarray(block), axis=0)
                   if v_table is not None else None)
-        outs.append(fuse(params, image_feats, q_rows, v_rows)[:n_valid])
+        out = fuse(params, image_feats, q_rows, v_rows)[:n_valid]
+        if out_dtype is not None:
+            out = out.astype(out_dtype)
+        if on_host is None:
+            per_row = out.dtype.itemsize * int(np.prod(out.shape[1:]))
+            on_host = n * per_row > Z_HOST_ACCUM_BYTES
+        outs.append(np.asarray(out) if on_host else out)
+    if on_host:
+        return jax.device_put(np.concatenate(outs, axis=0))
     return as_row_major(jnp.concatenate(outs, axis=0))
 
 
