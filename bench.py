@@ -96,10 +96,21 @@ import numpy as np
 REFERENCE_BASELINE_EXAMPLES_PER_SEC = 1500.0
 BATCH_SIZE = int(os.environ.get("VQACX_BENCH_BATCH", "768"))
 N_WARMUP = 3
-N_STEPS = 50
+# Statistical defensibility (VERDICT r2 #2): a single ~0.2 s window on a
+# tunneled shared chip is fragile evidence — the r2 driver run landed 14%
+# below the recorded best with no way to tell variance from regression.
+# The bench now measures N_WINDOWS independent windows of ~N_STEPS_PER_WINDOW
+# steps each in one process and reports the MEDIAN as ``value`` plus the
+# min/max spread, so one slow window (tunnel contention, background
+# compaction) can't set the headline.
+N_WINDOWS = int(os.environ.get("VQACX_BENCH_WINDOWS", "5"))
+N_STEPS_PER_WINDOW = int(os.environ.get("VQACX_BENCH_WINDOW_STEPS", "200"))
 # v5e ("TPU v5 lite") peak: 197 bf16 TFLOP/s per chip
 PEAK_FLOPS = {"TPU v5 lite": 197e12, "TPU v5e": 197e12, "TPU v4": 275e12,
               "TPU v6 lite": 918e12}
+# v5e HBM bandwidth peak: 819 GB/s per chip (v4: 1228, v6e: 1640)
+PEAK_HBM_BPS = {"TPU v5 lite": 819e9, "TPU v5e": 819e9, "TPU v4": 1228e9,
+                "TPU v6 lite": 1640e9}
 # the Pallas MUTAN kernel is in the measured path by default (VERDICT r1 #3)
 os.environ.setdefault("VQACX_ENABLE_PALLAS", "1")
 # bf16 GEMM inputs / f32 accumulate+params: consistently +4.6% once the
@@ -197,23 +208,50 @@ def main():
                                               use_q_cache=use_q_cache,
                                               use_v_cache=use_v_cache,
                                               use_z_cache=use_z_cache)
+    def build_caches():
+        """One q/v/z cache build; returns (tables, per-stage seconds)."""
+        stage_s = {}
+        q_table = v_table = z_table = None
+        if use_q_cache:
+            t = time.time()
+            q_table = cx_engine.precompute_q_emb(model, state.params,
+                                                 arrays.question_wids,
+                                                 batch_size=2048)
+            hard_sync(q_table)
+            stage_s["q"] = time.time() - t
+        if use_v_cache:
+            t = time.time()
+            v_table = cx_engine.precompute_v_proj(model, state.params,
+                                                  features)
+            hard_sync(v_table)
+            stage_s["v"] = time.time() - t
+        if use_z_cache:
+            t = time.time()
+            z_table = cx_engine.precompute_z_emb(model, state.params,
+                                                 features,
+                                                 arrays.image_idxs, q_table,
+                                                 v_table=v_table)
+            hard_sync(z_table)
+            stage_s["z"] = time.time() - t
+            # z subsumes v in the step; v was only the build intermediate
+            v_table = None
+        return q_table, v_table, z_table, stage_s
+
     t0 = time.time()
-    q_table = v_table = z_table = None
-    if use_q_cache:
-        q_table = cx_engine.precompute_q_emb(model, state.params,
-                                             arrays.question_wids,
-                                             batch_size=2048)
-        hard_sync(q_table)
-    if use_v_cache:
-        v_table = cx_engine.precompute_v_proj(model, state.params, features)
-        hard_sync(v_table)
-    if use_z_cache:
-        z_table = cx_engine.precompute_z_emb(model, state.params, features,
-                                             arrays.image_idxs, q_table,
-                                             v_table=v_table)
-        hard_sync(z_table)
-        # z subsumes v in the step; v_table was only the build intermediate
-        v_table = None
+    q_table, v_table, z_table, cache_stage_s = build_caches()
+    # Decompose build time into compile vs compute (VERDICT r2 #2): at bench
+    # scale the cache COMPUTE is trivial — the first build is dominated by
+    # cold compiles of the precompute programs.  A second build re-traces
+    # but hits warm (in-memory/persistent) compiles, so its time bounds the
+    # actual compute+transfer cost; the difference is compile overhead.
+    # Cheap at bench scale (2048 examples); the soak script reports the
+    # real-scale (216k-example) build cost.
+    cache_rebuild_s = None
+    rebuild_elapsed = 0.0
+    if (use_q_cache or use_v_cache) and arrays.size <= 16384:
+        t = time.time()
+        build_caches()
+        cache_rebuild_s = rebuild_elapsed = time.time() - t
     # bf16-resident feature matrix + tables under the bf16 policy: the GEMMs
     # cast inputs to bf16 anyway, so storing them bf16 halves the gather
     # traffic and deletes the per-step cast round-trips (measured 4.94 ->
@@ -231,7 +269,8 @@ def main():
             # step's gather doesn't relayout the whole table every step
             z_table = cx_engine.as_row_major(z_table.astype(jnp.bfloat16))
     extra = cx_engine._cache_extras(q_table, v_table, z_table)
-    q_build_s = time.time() - t0
+    # first build + bf16 residency cast; the diagnostic rebuild is excluded
+    q_build_s = time.time() - t0 - rebuild_elapsed
 
     rng = np.random.default_rng(0)
     batches = []
@@ -247,20 +286,27 @@ def main():
     hard_sync(batches)
     nv = jnp.asarray(float(BATCH_SIZE), jnp.float32)
 
+    window_rates = []  # examples/sec, one per measured window
     if scan_len:
         stacked = cx_engine.stack_batches(
             [batches[j % len(batches)] for j in range(scan_len)])
         n_valids = jnp.full((scan_len,), float(BATCH_SIZE), jnp.float32)
         hard_sync(stacked)
-        state, m = train_scan(state, features, stacked, n_valids, *extra)
-        hard_sync(state.params)
-        n_dispatches = max(N_STEPS // scan_len, 1)
-        t0 = time.time()
-        for _ in range(n_dispatches):
+        # warm up with TWO dispatches: the first pays compile, the second
+        # flushes any lazy first-execution work (donation rewiring, layout
+        # settling) so window 0 isn't systematically slow
+        for _ in range(2):
             state, m = train_scan(state, features, stacked, n_valids, *extra)
         hard_sync(state.params)
-        dt = time.time() - t0
-        measured_steps = n_dispatches * scan_len
+        n_dispatches = max(N_STEPS_PER_WINDOW // scan_len, 1)
+        for _ in range(N_WINDOWS):
+            t0 = time.time()
+            for _ in range(n_dispatches):
+                state, m = train_scan(state, features, stacked, n_valids,
+                                      *extra)
+            hard_sync(state.params)
+            window_rates.append(
+                BATCH_SIZE * n_dispatches * scan_len / (time.time() - t0))
     else:
         # (measured dead end 2026-08-18: pinning every operand in
         # compiled.input_formats and calling the AOT executable directly —
@@ -272,23 +318,24 @@ def main():
             state, m = train_step(state, features,
                                   batches[i % len(batches)], nv, *extra)
         hard_sync(state.params)
+        for _ in range(N_WINDOWS):
+            t0 = time.time()
+            for i in range(N_STEPS_PER_WINDOW):
+                state, m = train_step(state, features,
+                                      batches[i % len(batches)], nv, *extra)
+            hard_sync(state.params)
+            window_rates.append(
+                BATCH_SIZE * N_STEPS_PER_WINDOW / (time.time() - t0))
 
-        t0 = time.time()
-        for i in range(N_STEPS):
-            state, m = train_step(state, features,
-                                  batches[i % len(batches)], nv, *extra)
-        hard_sync(state.params)
-        dt = time.time() - t0
-        measured_steps = N_STEPS
-
-    value = BATCH_SIZE * measured_steps / dt
+    value = float(np.median(window_rates))
     n_chips = jax.device_count()
     value_per_chip = value / max(n_chips, 1)
 
-    # roofline grounding: XLA's own flop count for the compiled train step
-    # over the chip's bf16 peak (measured-vs-hardware, not vs the assumed
-    # reference throughput)
-    mfu = tflops = None
+    # roofline grounding: XLA's own flop + byte counts for the compiled
+    # train step over the chip's bf16-FLOP and HBM-bandwidth peaks
+    # (measured-vs-hardware, not vs the assumed reference throughput)
+    mfu = tflops = hbm_gbps = hbm_frac = None
+    steps_per_sec = value / BATCH_SIZE
     try:
         compiled = train_step.lower(state, features, batches[0], nv,
                                     *extra).compile()
@@ -296,30 +343,58 @@ def main():
         if isinstance(analysis, list):  # older jax returns one dict per device
             analysis = analysis[0]
         step_flops = float(analysis["flops"])
-        # the fused Pallas answer head is a custom call XLA's cost
-        # analysis cannot see; add its classify-GEMM FLOPs (the softmax
-        # elementwise work is negligible) so mfu stays comparable to the
-        # pre-kernel numbers
+        # the fused Pallas answer head is a custom call whose INNER flops
+        # XLA's cost analysis cannot see (its operand/output BYTES are
+        # counted by the default custom-call handler); add its
+        # classify-GEMM FLOPs (the softmax elementwise work is negligible)
+        # so mfu stays comparable to the pre-kernel numbers
         if (os.environ.get("VQACX_FUSED_HEAD", "auto") != "0"
                 and os.environ.get("VQACX_COMPUTE_DTYPE") == "bfloat16"
                 and jax.devices()[0].platform == "tpu"):
             step_flops += 2.0 * BATCH_SIZE * 24 * 360 * 2000
-        flops_per_sec = step_flops * measured_steps / dt
+        flops_per_sec = step_flops * steps_per_sec
         tflops = round(flops_per_sec / 1e12, 2)
         peak = PEAK_FLOPS.get(jax.devices()[0].device_kind)
         if peak:
             mfu = round(flops_per_sec / peak, 4)
+        # achieved HBM bandwidth (VERDICT r2 #5): XLA 'bytes accessed' is
+        # every HLO's operand+output traffic assuming no cache reuse — an
+        # upper bound on true HBM traffic, so hbm_frac_of_peak is the
+        # OPTIMISTIC read of how bandwidth-bound the step is.  If this is
+        # well under 1.0 the step is NOT HBM-saturated and MFU gaps are
+        # latency/occupancy, not bandwidth.
+        step_bytes = float(analysis.get("bytes accessed", 0.0))
+        if step_bytes:
+            hbm_gbps = round(step_bytes * steps_per_sec / 1e9, 1)
+            bw_peak = PEAK_HBM_BPS.get(jax.devices()[0].device_kind)
+            if bw_peak:
+                hbm_frac = round(step_bytes * steps_per_sec / bw_peak, 3)
     except Exception as exc:  # noqa: BLE001 — cost analysis is best-effort
         print("cost_analysis unavailable: %s" % exc, flush=True)
 
+    spread = {"min": round(min(window_rates) / max(n_chips, 1), 1),
+              "max": round(max(window_rates) / max(n_chips, 1), 1),
+              "rel": round((max(window_rates) - min(window_rates))
+                           / value, 4)}
     print(json.dumps({
         "metric": "cx_train_examples_per_sec_per_chip",
         "value": round(value_per_chip, 1),
         "unit": "examples/sec/chip",
+        # vs the ASSUMED reference throughput (the reference publishes no
+        # throughput numbers): measured / 1,500 ex/s charged to its CUDA
+        # hardware.  ``mfu``/``hbm_*`` ground the number against this
+        # chip's hardware peaks instead of that assumption.
         "vs_baseline": round(
             value_per_chip / REFERENCE_BASELINE_EXAMPLES_PER_SEC, 2),
+        "baseline_basis": "assumed %d ex/s for the CUDA reference "
+                          "(publishes no throughput; see BASELINE.md)"
+                          % int(REFERENCE_BASELINE_EXAMPLES_PER_SEC),
+        "windows": [round(r / max(n_chips, 1), 1) for r in window_rates],
+        "spread": spread,
         "mfu": mfu,
         "tflops_per_sec": tflops,
+        "hbm_gbps_upper_bound": hbm_gbps,
+        "hbm_frac_of_peak": hbm_frac,
         "batch_size": BATCH_SIZE,
         "scan_len": scan_len,
         "pallas": os.environ.get("VQACX_ENABLE_PALLAS") == "1",
@@ -329,6 +404,13 @@ def main():
         "compute_dtype": os.environ.get("VQACX_COMPUTE_DTYPE", "float32"),
         "bf16_tables": bf16_tables,
         "cache_build_s": round(q_build_s, 1),
+        "cache_build_stage_s": {k: round(v, 1)
+                                for k, v in cache_stage_s.items()},
+        "cache_rebuild_warm_s": (round(cache_rebuild_s, 1)
+                                 if cache_rebuild_s is not None else None),
+        "cache_compile_overhead_s": (round(q_build_s - cache_rebuild_s, 1)
+                                     if cache_rebuild_s is not None
+                                     else None),
     }))
 
 

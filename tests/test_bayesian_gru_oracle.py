@@ -1,0 +1,268 @@
+"""BayesianUniSkip parity against a torch oracle of skip-thoughts.torch.
+
+The flagship configs (reference options/vqa2/mutan_noatt_train.yaml seq2vec
+block) encode questions with BayesianUniSkip: a 620-d embedding into a
+2400-d GRU whose *variational* dropout samples one mask per sequence and
+reuses it at every timestep (Gal & Ghahramani), with the skip-thoughts.torch
+cell formula (per-gate Linears weight_{ir,ii,in} with bias, recurrent
+weight_{hr,hi,hn} without, carry gate ``i``: hx = (1-i)*n + i*hx where the
+leak term uses the UN-dropped hx).  These train-mode semantics shape the
+training dynamics of every headline VQA pretraining run, so they are pinned
+here against a torch oracle built in-test from that formula (VERDICT r2 #6):
+
+* gate roles and packing order (r, z<-i, n),
+* mask placement: x masked before the input projections, h masked before
+  the recurrent projections ONLY — the carry leak reads raw h,
+* inverted-dropout scaling,
+* one mask per sequence shared across all timesteps,
+* the porter's mapping of genuine per-gate skip-thoughts.torch checkpoint
+  keys (rnn.gru_cell.weight_ir.weight, ...) into our packed GRUParams.
+
+Known, documented approximation: skip-thoughts.torch draws SIX independent
+masks (one per gate-side Linear via separate SequentialDropouts) while our
+``gru_scan`` shares one mask across the three input gates and one across
+the three recurrent gates — identical marginal drop rate and scaling,
+different cross-gate noise correlation.  The oracle therefore fixes its six
+masks to the shared pair, which makes the formulas coincide exactly; any
+drift in placement, scaling, gate order, or time-sharing still fails.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+
+def _gru_params(rng, dim_in, dim_h):
+    from vqa_counterexamples_tpu.ops.rnn import GRUParams
+
+    def r(*shape):
+        return rng.normal(size=shape, scale=0.2).astype(np.float32)
+
+    return GRUParams(w_ih=r(dim_in, 3 * dim_h), b_ih=r(3 * dim_h),
+                     w_hh=r(dim_h, 3 * dim_h), b_hh=np.zeros(3 * dim_h,
+                                                             np.float32))
+
+
+def _oracle_states(p, x, mask_x, mask_h, dim_h):
+    """Torch loop implementing the skip-thoughts.torch BayesianGRUCell
+    formula with all six per-gate masks fixed to (mask_x, mask_h)."""
+    w_ih = torch.from_numpy(np.asarray(p.w_ih))
+    b_ih = torch.from_numpy(np.asarray(p.b_ih))
+    w_hh = torch.from_numpy(np.asarray(p.w_hh))
+    b_hh = torch.from_numpy(np.asarray(p.b_hh))
+    (w_ir, w_ii, w_in) = torch.split(w_ih, dim_h, dim=1)
+    (b_ir, b_ii, b_in) = torch.split(b_ih, dim_h)
+    (w_hr, w_hi, w_hn) = torch.split(w_hh, dim_h, dim=1)
+    (b_hr, b_hi, b_hn) = torch.split(b_hh, dim_h)
+    xt = torch.from_numpy(x)
+    mx = torch.from_numpy(mask_x)
+    mh = torch.from_numpy(mask_h)
+    batch, seq_len, _ = x.shape
+    h = torch.zeros(batch, dim_h)
+    states = []
+    for t in range(seq_len):
+        x_d = xt[:, t] * mx          # input masked before the projections
+        h_d = h * mh                 # recurrent input masked likewise
+        r = torch.sigmoid(x_d @ w_ir + b_ir + h_d @ w_hr + b_hr)
+        i = torch.sigmoid(x_d @ w_ii + b_ii + h_d @ w_hi + b_hi)
+        n = torch.tanh(x_d @ w_in + b_in + r * (h_d @ w_hn + b_hn))
+        h = (1.0 - i) * n + i * h    # leak reads RAW h, not h_d
+        states.append(h)
+    return torch.stack(states, dim=1).numpy()
+
+
+def test_bayesian_gru_train_mode_matches_torch_oracle_under_fixed_masks():
+    import jax
+    import jax.numpy as jnp
+
+    from vqa_counterexamples_tpu.core import rng as rng_lib
+    from vqa_counterexamples_tpu.ops import rnn as rnn_ops
+
+    B, T, D, H, P = 5, 11, 13, 9, 0.25
+    rng = np.random.default_rng(0)
+    params = _gru_params(rng, D, H)
+    x = rng.normal(size=(B, T, D)).astype(np.float32)
+
+    key = jax.random.key(7)
+    with torch.no_grad():
+        ours = np.asarray(rnn_ops.gru_scan(
+            jax.tree.map(jnp.asarray, params), jnp.asarray(x), dropout=P,
+            deterministic=False, rng=key))
+
+    # reproduce gru_scan's own mask derivation (split -> keep_mask) so the
+    # oracle sees the identical per-sequence masks, scaling included
+    kx, kh = jax.random.split(key)
+    keep_x, scale_x = rng_lib.keep_mask(kx, 1.0 - P, (B, D))
+    keep_h, scale_h = rng_lib.keep_mask(kh, 1.0 - P, (B, H))
+    mask_x = np.asarray(keep_x, np.float32) * np.float32(scale_x)
+    mask_h = np.asarray(keep_h, np.float32) * np.float32(scale_h)
+    assert 0.0 < mask_x.mean() and (mask_x == 0).any()  # dropout is live
+
+    oracle = _oracle_states(params, x, mask_x, mask_h, H)
+    np.testing.assert_allclose(ours, oracle, rtol=2e-4, atol=2e-5)
+
+
+def test_bayesian_gru_eval_mode_matches_torch_oracle():
+    """deterministic=True must equal the oracle with all-ones masks."""
+    import jax
+    import jax.numpy as jnp
+
+    from vqa_counterexamples_tpu.ops import rnn as rnn_ops
+
+    B, T, D, H = 4, 8, 10, 6
+    rng = np.random.default_rng(1)
+    params = _gru_params(rng, D, H)
+    x = rng.normal(size=(B, T, D)).astype(np.float32)
+    ours = np.asarray(rnn_ops.gru_scan(jax.tree.map(jnp.asarray, params),
+                                       jnp.asarray(x)))
+    with torch.no_grad():
+        oracle = _oracle_states(params, x, np.ones((B, D), np.float32),
+                                np.ones((B, H), np.float32), H)
+    np.testing.assert_allclose(ours, oracle, rtol=1e-4, atol=1e-5)
+
+
+class _TorchBayesianUniSkip(torch.nn.Module):
+    """skip-thoughts.torch BayesianUniSkip skeleton: embedding(padding 0) +
+    per-gate BayesianGRUCell Linears (bias_ih=True, bias_hh=False), so its
+    state_dict has the GENUINE checkpoint key layout the porter must map."""
+
+    def __init__(self, vocab_size, emb_size, hidden_size):
+        super().__init__()
+        self.embedding = torch.nn.Embedding(vocab_size + 1, emb_size,
+                                            padding_idx=0)
+        cell = torch.nn.Module()
+        for g in ("ir", "ii", "in"):
+            setattr(cell, "weight_%s" % g,
+                    torch.nn.Linear(emb_size, hidden_size, bias=True))
+        for g in ("hr", "hi", "hn"):
+            setattr(cell, "weight_%s" % g,
+                    torch.nn.Linear(hidden_size, hidden_size, bias=False))
+        rnn = torch.nn.Module()
+        rnn.gru_cell = cell
+        self.rnn = rnn
+        self.hidden_size = hidden_size
+
+    def forward(self, wids):
+        c = self.rnn.gru_cell
+        x = self.embedding(wids)
+        h = torch.zeros(wids.shape[0], self.hidden_size)
+        states = []
+        for t in range(wids.shape[1]):  # eval mode: no dropout
+            xt = x[:, t]
+            r = torch.sigmoid(c.weight_ir(xt) + c.weight_hr(h))
+            i = torch.sigmoid(c.weight_ii(xt) + c.weight_hi(h))
+            n = torch.tanh(c.weight_in(xt) + r * c.weight_hn(h))
+            h = (1.0 - i) * n + i * h
+            states.append(h)
+        states = torch.stack(states, dim=1)
+        lengths = (wids != 0).sum(1)
+        return torch.stack([states[b, lengths[b] - 1]
+                            for b in range(wids.shape[0])])
+
+
+def test_port_per_gate_bayesian_keys_forward_parity():
+    """Genuine skip-thoughts.torch per-gate keys port into SkipThoughts and
+    reproduce the torch forward (small dims)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vqa_counterexamples_tpu.models import port_torch
+    from vqa_counterexamples_tpu.models.seq2vec import SkipThoughts
+
+    V, EMB, HID, B, T = 12, 6, 9, 4, 8
+    torch.manual_seed(2)
+    tmodel = _TorchBayesianUniSkip(V, EMB, HID).eval()
+    sd = tmodel.state_dict()
+    assert "rnn.gru_cell.weight_ir.weight" in sd
+    ported = port_torch.port_seq2vec(dict(sd))
+
+    model = SkipThoughts(vocab_size=V, dropout=0.25, fixed_emb=False,
+                         bayesian=True, emb_size=EMB, hidden_size=HID)
+    rng = np.random.default_rng(3)
+    wids = rng.integers(1, V + 1, size=(B, T)).astype(np.int32)
+    wids[0, 5:] = 0  # right padding
+    template = model.init({"params": jax.random.key(0),
+                           "dropout": jax.random.key(1)},
+                          jnp.asarray(wids), deterministic=True)["params"]
+    params = port_torch.graft(template, ported)
+    with torch.no_grad():
+        oracle = tmodel(torch.from_numpy(wids.astype(np.int64))).numpy()
+    ours = np.asarray(model.apply({"params": params}, jnp.asarray(wids),
+                                  deterministic=True))
+    np.testing.assert_allclose(ours, oracle, rtol=1e-4, atol=1e-5)
+
+
+def test_flagship_mutan_noatt_bayesian_uniskip_full_forward_parity():
+    """Full flagship forward at REFERENCE dims (dim_v=2048, 620->GRU 2400,
+    R=10, dim_mm=360, 2000 answers), eval mode, f32: flax MutanNoAtt +
+    BayesianUniSkip == the torch oracle on ported weights (VERDICT r2 #6 —
+    the previous full-model parity test used the TwoLSTM encoder at toy
+    dims; the headline runs use this configuration)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vqa_counterexamples_tpu.models import factory, port_torch
+
+    V, EMB, HID = 30, 620, 2400
+    DIM_V, R, DIM_MM, NANS = 2048, 10, 360, 2000
+    B, T = 3, 26
+
+    opt = {
+        "arch": "MutanNoAtt",
+        "seq2vec": {"arch": "skipthoughts", "type": "BayesianUniSkip",
+                    "dropout": 0.25, "fixed_emb": False},
+        "fusion": {"dim_v": DIM_V, "dim_q": HID, "dim_hv": 360,
+                   "dim_hq": 360, "dim_mm": DIM_MM, "R": R,
+                   "dropout_v": 0.5, "dropout_q": 0.5,
+                   "activation_v": "tanh", "activation_q": "tanh",
+                   "dropout_hv": 0, "dropout_hq": 0},
+        "classif": {"dropout": 0.5},
+    }
+    words = ["w%d" % i for i in range(V)]
+    answers = ["a%d" % i for i in range(NANS)]
+    model = factory.factory_vqa(opt, words, answers)
+
+    rng = np.random.default_rng(4)
+    wids = rng.integers(1, V + 1, size=(B, T)).astype(np.int32)
+    wids[0, 7:] = 0
+    wids[2, 20:] = 0
+    visual = rng.normal(size=(B, DIM_V)).astype(np.float32)
+
+    variables = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        jnp.asarray(visual), jnp.asarray(wids), deterministic=True)
+    params = variables["params"]
+
+    # torch oracle over a per-gate skip-thoughts encoder whose weights are
+    # PORTED into the flax params (not the other way around), so the test
+    # exercises the genuine-checkpoint key mapping at flagship dims too
+    torch.manual_seed(5)
+    tenc = _TorchBayesianUniSkip(V, EMB, HID).eval()
+    ported_seq = port_torch.port_seq2vec(dict(tenc.state_dict()))
+    params = dict(params)
+    params["seq2vec"] = port_torch.graft(params["seq2vec"], ported_seq)
+
+    ours = np.asarray(model.apply({"params": params}, jnp.asarray(visual),
+                                  jnp.asarray(wids), deterministic=True))
+
+    with torch.no_grad():
+        q_emb = tenc(torch.from_numpy(wids.astype(np.int64)))
+
+    def linear(x, tree):
+        return (x @ torch.from_numpy(np.asarray(tree["kernel"]))
+                + torch.from_numpy(np.asarray(tree["bias"])))
+
+    p_fus = params["fusion_module"]
+    x_v = torch.tanh(linear(torch.from_numpy(visual), p_fus["linear_v"]))
+    x_q = torch.tanh(linear(q_emb, p_fus["linear_q"]))
+    hv = (x_v @ torch.from_numpy(np.asarray(p_fus["w_hv"]))
+          + torch.from_numpy(np.asarray(p_fus["b_hv"]))).reshape(B, R, DIM_MM)
+    hq = (x_q @ torch.from_numpy(np.asarray(p_fus["w_hq"]))
+          + torch.from_numpy(np.asarray(p_fus["b_hq"]))).reshape(B, R, DIM_MM)
+    x_mm = (hv * hq).sum(dim=1)
+    oracle = linear(x_mm, params["linear_classif"]).numpy()
+
+    # f32 everywhere, but a 2400-wide GRU accumulates ~26 steps of rounding
+    # differences between scan and the python loop — tolerance stays tight
+    np.testing.assert_allclose(ours, oracle, rtol=5e-4, atol=5e-4)

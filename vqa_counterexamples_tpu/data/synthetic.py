@@ -57,10 +57,16 @@ def make_synthetic_cx(n_examples: int = 256, n_images: int = 128,
         order = np.argsort(part_d, axis=1)
         knn_idx = np.take_along_axis(part, order, axis=1)
     else:
-        # per-image random candidate lists, offset so entry j != self
-        knn_idx = (np.arange(n_images)[:, None]
-                   + rng.integers(1, n_images,
-                                  size=(n_images, knn_size))) % n_images
+        # per-image random candidate lists with DISTINCT offsets in
+        # [1, n_images): sorted sampling-with-replacement from a reduced
+        # range plus arange makes each row strictly increasing (hence
+        # distinct and != self), then an in-row shuffle breaks the order.
+        # Distinctness matters: pairwise_view's "random other candidate"
+        # and the CE label both assume the comp appears exactly once.
+        off = np.sort(rng.integers(1, n_images - knn_size + 1,
+                                   size=(n_images, knn_size)), axis=1)
+        off = rng.permuted(off + np.arange(knn_size), axis=1)
+        knn_idx = (np.arange(n_images)[:, None] + off) % n_images
 
     vocab_words, vocab_answers = synthetic_vocab(n_words, n_answers)
 

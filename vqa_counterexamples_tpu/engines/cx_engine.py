@@ -208,6 +208,7 @@ def precompute_z_emb(model, params, features, image_idxs, q_table,
                 v, q, True, v_proj=v_rows))
 
     outs = []
+    in_flight = None  # host-accum: device chunk whose D2H is deferred one step
     for i in range(0, n, chunk):
         block = idxs[i:i + chunk]
         q_rows = q_table[i:i + chunk]
@@ -228,8 +229,18 @@ def precompute_z_emb(model, params, features, image_idxs, q_table,
         if on_host is None:
             per_row = out.dtype.itemsize * int(np.prod(out.shape[1:]))
             on_host = n * per_row > Z_HOST_ACCUM_BYTES
-        outs.append(np.asarray(out) if on_host else out)
+        if on_host:
+            # keep one chunk in flight: fetch chunk i-1 only after chunk i's
+            # fuse has been dispatched, so D2H copies ride under device
+            # compute instead of serializing compute+copy per chunk
+            if in_flight is not None:
+                outs.append(np.asarray(in_flight))
+            in_flight = out
+        else:
+            outs.append(out)
     if on_host:
+        if in_flight is not None:
+            outs.append(np.asarray(in_flight))
         return jax.device_put(np.concatenate(outs, axis=0))
     return as_row_major(jnp.concatenate(outs, axis=0))
 

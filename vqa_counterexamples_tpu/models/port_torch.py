@@ -100,12 +100,34 @@ def port_seq2vec(sd: dict) -> dict:
         return {"embedding": {"embedding": emb},
                 "lstm_0": _lstm_params(sd, "rnn_0"),
                 "lstm_1": _lstm_params(sd, "rnn_1")}
-    if "gru_cell.weight_ih" in sd:  # BayesianUniSkip (skip-thoughts.torch)
+    if "gru_cell.weight_ih" in sd:  # BayesianUniSkip (pre-packed layout)
         return {"embedding": emb,
                 "gru": GRUParams(w_ih=_f32(sd["gru_cell.weight_ih"]).T,
                                  b_ih=_f32(sd["gru_cell.bias_ih"]),
                                  w_hh=_f32(sd["gru_cell.weight_hh"]).T,
                                  b_hh=_f32(sd["gru_cell.bias_hh"]))}
+    for cell in ("rnn.gru_cell", "gru_cell"):
+        # genuine skip-thoughts.torch BayesianGRUCell: six per-gate Linears
+        # weight_{ir,ii,in} (input, bias_ih=True) + weight_{hr,hi,hn}
+        # (recurrent, bias_hh=False).  Gate roles: r=reset, i=carry
+        # (hx = (1-i)*n + i*hx), n=new — packed into our (r, z, n) order
+        # with z <- i.
+        if "%s.weight_ir.weight" % cell not in sd:
+            continue
+        def _gate(g):
+            return _f32(sd["%s.weight_%s.weight" % (cell, g)]).T
+        def _gate_b(g, dim):
+            key = "%s.weight_%s.bias" % (cell, g)
+            return _f32(sd[key]) if key in sd else np.zeros(dim, np.float32)
+        w_ih = np.concatenate([_gate("ir"), _gate("ii"), _gate("in")], axis=1)
+        w_hh = np.concatenate([_gate("hr"), _gate("hi"), _gate("hn")], axis=1)
+        hid = w_hh.shape[0]
+        b_ih = np.concatenate([_gate_b("ir", hid), _gate_b("ii", hid),
+                               _gate_b("in", hid)])
+        b_hh = np.concatenate([_gate_b("hr", hid), _gate_b("hi", hid),
+                               _gate_b("hn", hid)])
+        return {"embedding": emb,
+                "gru": GRUParams(w_ih=w_ih, b_ih=b_ih, w_hh=w_hh, b_hh=b_hh)}
     if "rnn.weight_ih_l0" in sd:
         w = _np(sd["rnn.weight_ih_l0"])
         hidden = _np(sd["rnn.weight_hh_l0"]).shape[1]
