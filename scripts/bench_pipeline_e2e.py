@@ -1,0 +1,278 @@
+"""End-to-end pipeline artifact: the whole reference recipe, wall-clocked
+per stage at a declared scale (VERDICT r2 #3; BASELINE.md's actual target is
+"end-to-end train+extract >= 10x", not per-stage steady states).
+
+Stages, mirroring reference README.md:55-61 / extract.py:90-153 /
+counterexamples.py:299-371:
+
+  1. jpegs     — write N_IMG synthetic COCO-sized JPEGs to disk
+  2. decode    — native libjpeg decode throughput at 1..N threads (the
+                 thread-scaling curve; on a 1-core host it is flat and says
+                 so honestly)
+  3. extract   — cli/extract end-to-end on those files: decode + jitted
+                 fbresnet152 forward + att/noatt store writes (img/s)
+  4. knn       — cli/knn k=25 over the extracted noatt matrix
+  5. join      — cli/build_vqacx over synthetic processed pickles + comp
+                 pairs constructed inside the knn lists (all survive)
+  6. cache     — frozen-backbone q/v/z cache build at this scale
+  7. train     — N_EPOCHS of the scanned bf16 flagship trainer (the bench
+                 configuration: B=768, scan 50, Pallas + fused head)
+
+Defaults are sized so the train stage reuses the bench/soak compiled
+programs (B=768, scan_len=50, chunked precomputes pad to 2048) — a cold
+.jax_cache adds minutes of compile to the cache stage, which the JSON
+reports separately as honest cold-start cost.
+
+Usage: python scripts/bench_pipeline_e2e.py          (~10 min warm cache)
+       E2E_IMAGES=256 E2E_EXAMPLES=7680 ...          (smaller)
+Prints ONE JSON line with per-stage seconds + rates.
+"""
+
+import io
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_IMG = int(os.environ.get("E2E_IMAGES", "768"))
+N_EX = int(os.environ.get("E2E_EXAMPLES", "38400"))
+BATCH = int(os.environ.get("E2E_BATCH", "768"))
+SCAN_LEN = int(os.environ.get("E2E_SCAN_LEN", "50"))
+EPOCHS = int(os.environ.get("E2E_EPOCHS", "3"))
+EXTRACT_BATCH = int(os.environ.get("E2E_EXTRACT_BATCH", "64"))
+KNN_SIZE = 24
+
+os.environ.setdefault("VQACX_ENABLE_PALLAS", "1")
+os.environ.setdefault("VQACX_COMPUTE_DTYPE", "bfloat16")
+
+
+def _make_jpegs(workdir):
+    from PIL import Image
+
+    img_dir = os.path.join(workdir, "raw", "train2014")
+    os.makedirs(img_dir, exist_ok=True)
+    rng = np.random.default_rng(0)
+    base = []
+    for _ in range(16):  # 16 distinct COCO-sized JPEGs, cycled
+        x = (np.linspace(0, 255, 640)[None, :]
+             + rng.normal(0, 25, (480, 640))).clip(0, 255)
+        img = np.stack([x, np.roll(x, 9, 1), 255 - x], -1).astype(np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, "JPEG", quality=90)
+        base.append(buf.getvalue())
+    paths = []
+    for i in range(N_IMG):
+        p = os.path.join(img_dir, "COCO_train2014_%012d.jpg" % i)
+        with open(p, "wb") as f:
+            f.write(base[i % 16])
+        paths.append(p)
+    return img_dir, paths
+
+
+def _decode_scaling(paths):
+    """img/s at 1..min(cores, 4) decoder threads over a fixed sample."""
+    from vqa_counterexamples_tpu.data.native_decoder import NativeImageDecoder
+
+    sample = paths[:min(256, len(paths))]
+    curve = {}
+    for n in range(1, min(os.cpu_count() or 1, 4) + 1):
+        dec = NativeImageDecoder(n_threads=n)
+        if not dec.available:
+            return {"error": "native decoder unavailable"}
+        dec.decode_files(sample[:16], size=448)  # warm (pool spin-up)
+        t0 = time.time()
+        out, ok = dec.decode_files(sample, size=448)
+        assert ok.all()
+        curve["threads_%d" % n] = round(len(sample) / (time.time() - t0), 1)
+    return curve
+
+
+def main():
+    import jax
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    import pickle
+
+    import jax.numpy as jnp
+    import optax
+
+    from vqa_counterexamples_tpu.cli import build_vqacx as bv_cli
+    from vqa_counterexamples_tpu.cli import extract as ex_cli
+    from vqa_counterexamples_tpu.cli import knn as knn_cli
+    from vqa_counterexamples_tpu.core.profiler import hard_sync
+    from vqa_counterexamples_tpu.data import synthetic, vqacx
+    from vqa_counterexamples_tpu.data.features import FeatureStore
+    from vqa_counterexamples_tpu.engines import cx_engine
+    from vqa_counterexamples_tpu.models import factory
+
+    report = {"metric": "pipeline_e2e_seconds_per_stage", "unit": "seconds",
+              "n_images": N_IMG, "n_examples": N_EX, "batch_size": BATCH,
+              "scan_len": SCAN_LEN, "epochs": EPOCHS,
+              "host_cores": os.cpu_count()}
+    workdir = tempfile.mkdtemp(prefix="pipeline_e2e_")
+    try:
+        # ---- 1. jpegs ----
+        t0 = time.time()
+        img_dir, paths = _make_jpegs(workdir)
+        report["jpegs_s"] = round(time.time() - t0, 1)
+
+        # ---- 2. decode thread scaling ----
+        t0 = time.time()
+        report["decode_img_per_sec"] = _decode_scaling(paths)
+        report["decode_bench_s"] = round(time.time() - t0, 1)
+
+        # ---- 3. extract end-to-end through the CLI ----
+        t0 = time.time()
+        prefix = ex_cli.main(["--dir_data", workdir, "--data_split", "train",
+                              "--arch", "fbresnet152", "--size", "448",
+                              "--mode", "both",
+                              "--batch_size", str(EXTRACT_BATCH)])
+        report["extract_s"] = round(time.time() - t0, 1)
+        report["extract_img_per_sec"] = round(N_IMG / (time.time() - t0), 1)
+
+        # ---- 4. knn (k=25: 24 neighbors, reference knn.py:41-53) ----
+        t0 = time.time()
+        knn_json = os.path.join(workdir, "knn.json")
+        knn_cli.main(["--path_features", prefix, "-k", str(KNN_SIZE + 1),
+                      "--json-out", knn_json])
+        report["knn_s"] = round(time.time() - t0, 1)
+        knns = json.loads(open(knn_json).read())
+
+        # ---- 5. VQA-CX join at N_EX examples ----
+        t0 = time.time()
+        processed = os.path.join(workdir, "processed")
+        os.makedirs(processed, exist_ok=True)
+        rng = np.random.default_rng(1)
+        examples, pairs = [], []
+        n_pairs = N_EX // 2
+        maxlength = 26
+        for p in range(n_pairs):
+            img = int(rng.integers(0, N_IMG))
+            comp = knns[str(img)][0]
+            for a, iid in enumerate((img, comp)):
+                wids = [0] * maxlength
+                for k in range(int(rng.integers(3, 10))):
+                    wids[k] = int(rng.integers(1, 2000))
+                examples.append({
+                    "question_id": 2 * p + a,
+                    "image_name": vqacx.coco_num_to_name(iid),
+                    "question": "q", "question_wids": wids,
+                    "answer": "a%d" % (2 * p % 2000),
+                    "answer_aid": 2 * p % 2000})
+            pairs.append([2 * p, 2 * p + 1])
+        with open(os.path.join(processed, "trainset.pickle"), "wb") as f:
+            pickle.dump(examples, f)
+        with open(os.path.join(processed, "wid_to_word.pickle"), "wb") as f:
+            pickle.dump({i: "w%d" % i for i in range(1, 2001)}, f)
+        with open(os.path.join(processed, "aid_to_ans.pickle"), "wb") as f:
+            pickle.dump(["a%d" % i for i in range(2000)], f)
+        pairs_json = os.path.join(workdir, "pairs.json")
+        with open(pairs_json, "w") as f:
+            json.dump(pairs, f)
+        out_dir = os.path.join(workdir, "cx_data")
+        bv_cli.main(["--split", "train", "--path_processed", processed,
+                     "--path_comp_pairs", pairs_json,
+                     "--path_knn_json", knn_json,
+                     "--path_features_txt", prefix + ".txt",
+                     "--out_dir", out_dir])
+        trainset = vqacx.load_dataset(
+            os.path.join(out_dir, "trainset_augmented.pickle"))
+        report["join_s"] = round(time.time() - t0, 1)
+        report["join_examples"] = len(trainset["examples_list"])
+
+        # ---- 6+7. flagship CX training on the produced artifacts ----
+        arrays = vqacx.CXArrays.from_examples(trainset["examples_list"],
+                                              trainset["name_to_index"])
+        store = FeatureStore.load(prefix)
+        features = jnp.asarray(np.asarray(store.features))
+        opt = synthetic.tiny_vqa_options(dim_v=2048, nans=2000, dim_q=2400)
+        opt["seq2vec"] = {"arch": "skipthoughts", "type": "BayesianUniSkip",
+                          "dropout": 0.25, "fixed_emb": False}
+        opt["fusion"].update(dim_hv=360, dim_hq=360, dim_mm=360, R=10)
+        vqa_model = factory.factory_vqa(opt, trainset["vocab_words"],
+                                        trainset["vocab_answers"])
+        spec = dict(dim_h=300, n_layers=2, drop_p=0.25, v_emb=True,
+                    v_mult=True, v_dist=True, v_rank=True, q_emb=True,
+                    a_emb=True, z_emb=True, pretrained_emb=False,
+                    trainable_vqa=False)
+        model = factory.factory_cx("NeuralModel", vqa_model,
+                                   knn_size=arrays.knn_size, model_spec=spec)
+        optimizer = optax.adam(1e-4)
+        t0 = time.time()
+        state = cx_engine.init_cx_state(
+            model, optimizer, vqacx.gather_batch(arrays, np.arange(BATCH)),
+            features)
+        hard_sync(state.params)
+        report["model_init_s"] = round(time.time() - t0, 1)
+
+        t0 = time.time()
+        q_table = cx_engine.precompute_q_emb(model, state.params,
+                                             arrays.question_wids,
+                                             batch_size=2048)
+        v_table = cx_engine.precompute_v_proj(model, state.params, features)
+        z_table = cx_engine.precompute_z_emb(model, state.params, features,
+                                             arrays.image_idxs, q_table,
+                                             v_table=v_table,
+                                             out_dtype=jnp.bfloat16)
+        features = features.astype(jnp.bfloat16)
+        q_table = cx_engine.as_row_major(q_table.astype(jnp.bfloat16))
+        hard_sync([q_table, z_table])
+        report["cache_build_s"] = round(time.time() - t0, 1)
+
+        train_scan = cx_engine.make_cx_train_scan(model, optimizer,
+                                                  use_q_cache=True,
+                                                  use_z_cache=True)
+        extra = cx_engine._cache_extras(q_table, None, z_table)
+        scan_len = min(SCAN_LEN, arrays.size // BATCH)
+        n_valids = jnp.full((scan_len,), float(BATCH), jnp.float32)
+        rng = np.random.default_rng(0)
+        t0 = time.time()
+        losses = []
+        steps = 0
+        for _ in range(EPOCHS):
+            pending = []
+            for idx, _ in vqacx.batch_indices(arrays.size, BATCH,
+                                              shuffle=True, rng=rng,
+                                              drop_remainder=True):
+                pending.append(vqacx.gather_batch(arrays, idx))
+                if len(pending) == scan_len:
+                    st = cx_engine.stack_batches(pending)
+                    state, m = train_scan(state, features, st, n_valids,
+                                          *extra)
+                    losses.append(m["loss"])
+                    steps += scan_len
+                    pending = []
+        hard_sync(state.params)
+        dt = time.time() - t0
+        report["train_s"] = round(dt, 1)
+        report["train_examples_per_sec"] = round(steps * BATCH / dt, 1)
+        losses = [float(jnp.mean(x)) for x in losses]
+        report["loss_first_last"] = [round(losses[0], 4),
+                                     round(losses[-1], 4)]
+        report["loss_finite"] = bool(np.all(np.isfinite(losses)))
+
+        total = sum(v for k, v in report.items()
+                    if k.endswith("_s") and isinstance(v, (int, float)))
+        report["value"] = round(total, 1)
+        report["device"] = jax.devices()[0].device_kind
+        print(json.dumps(report, allow_nan=False))
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -93,31 +93,51 @@ def main():
         dt = (time.time() - t0) / 5
         out["batch%d_items_per_sec" % bs] = round(bs / dt, 1)
 
-    # concurrent single requests through the micro-batcher (the POST /
-    # path under load): 32 request threads, coalesced device calls
+    # Concurrent load, micro-batcher ON vs OFF (VERDICT r2 #8): N client
+    # threads each issuing M sequential requests, per-request latency
+    # recorded.  OFF = each thread calls engine.answer directly, requests
+    # serialize on the device one-by-one (the reference's single-threaded
+    # WSGI behavior, demo_server.py:169-171); ON = requests funnel through
+    # MicroBatcher.submit, which coalesces concurrent arrivals into one
+    # device call per bucket.
     import threading
 
     from vqa_counterexamples_tpu.serve.demo_server import MicroBatcher
 
     batcher = MicroBatcher(engine, max_wait_ms=4.0)
-    n_conc = 32
+    n_clients = int(os.environ.get("VQACX_SERVE_CLIENTS", "16"))
+    m_requests = int(os.environ.get("VQACX_SERVE_REQUESTS", "8"))
 
-    def fire():
-        threads = [threading.Thread(
-            target=lambda: batcher.submit(
-                {"visual": b64, "question": question}))
-            for _ in range(n_conc)]
+    def run_load(call):
+        lats = [[] for _ in range(n_clients)]
+
+        def client(slot):
+            for _ in range(m_requests):
+                t0 = time.time()
+                call()
+                lats[slot].append((time.time() - t0) * 1000)
+
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(n_clients)]
+        t0 = time.time()
         for t in threads:
             t.start()
         for t in threads:
             t.join()
+        wall = time.time() - t0
+        flat = np.sort(np.concatenate(lats))
+        return {"p50_ms": round(float(np.percentile(flat, 50)), 1),
+                "p99_ms": round(float(np.percentile(flat, 99)), 1),
+                "items_per_sec": round(n_clients * m_requests / wall, 1)}
 
-    fire()  # warm whatever buckets the coalescing lands on
-    t0 = time.time()
-    for _ in range(5):
-        fire()
-    dt = (time.time() - t0) / 5
-    out["concurrent%d_items_per_sec" % n_conc] = round(n_conc / dt, 1)
+    req = {"visual": b64, "question": question}
+    batcher.submit(req)  # warm the coalescing buckets
+    for tag, call in (("direct", lambda: engine.answer(b64, question)),
+                      ("batched", lambda: batcher.submit(req))):
+        for k, v in run_load(call).items():
+            out["concurrent_%s_%s" % (tag, k)] = v
+    out["n_clients"] = n_clients
+    out["m_requests"] = m_requests
 
     print(json.dumps({
         "metric": "demo_serve_latency_ms",

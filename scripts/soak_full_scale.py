@@ -45,9 +45,21 @@ def _mem_gb():
 
     try:
         stats = jax.local_devices()[0].memory_stats()
-        return {"hbm_in_use_gb": round(stats["bytes_in_use"] / 2**30, 2),
-                "hbm_peak_gb": round(stats["peak_bytes_in_use"] / 2**30, 2)}
+        if stats:
+            return {"hbm_in_use_gb": round(stats["bytes_in_use"] / 2**30,
+                                           2),
+                    "hbm_peak_gb": round(stats["peak_bytes_in_use"] / 2**30,
+                                         2)}
     except Exception:  # CPU backend has no memory_stats
+        pass
+    # the axon runtime returns None from memory_stats (and its
+    # device_memory_profile aborts the process): fall back to summing live
+    # array buffers — array residency only (no executable scratch), but
+    # measured, and the run completing at all bounds the rest under 16 GB
+    try:
+        dev_bytes = sum(a.size * a.dtype.itemsize for a in jax.live_arrays())
+        return {"live_array_gb": round(dev_bytes / 2**30, 2)}
+    except Exception:
         return {}
 
 

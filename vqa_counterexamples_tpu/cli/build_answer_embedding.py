@@ -99,8 +99,11 @@ def main(argv=None):
                            deterministic=True,
                            method=model.encode_question)
 
+    # table width = the encoder's actual output dim (2400 for the flagship
+    # skip-thoughts encoder; whatever dim_q the configured model emits)
+    dim = int(encode(np.zeros((1, maxlength), np.int32)).shape[-1])
     table = build_table(encode, vocab_answers, word_to_wid,
-                        maxlength=maxlength,
+                        maxlength=maxlength, dim=dim,
                         pad=options["vqa"].get("pad", "right"))
     out = args.out or os.path.join(args.path_processed,
                                    "answer_embedding.pickle")

@@ -85,6 +85,10 @@ def factory_cx(cx_name: str, vqa_model: nn.Module | None, *,
             dim_h=spec.get("dim_h", 300),
             n_layers=spec.get("n_layers", 2),
             drop_p=spec.get("drop_p", 0.25),
+            # 2400 = the reference's hardcoded nn.Embedding(2000, 2400)
+            # (cx.py:240-243) — the skip-thoughts encoder dim; configurable
+            # so pretrained_emb chains through non-flagship encoders too
+            dim_a=spec.get("dim_a", 2400),
             **common)
     if cx_name == "PairwiseModel":
         return cx_mod.PairwiseModel(**common)

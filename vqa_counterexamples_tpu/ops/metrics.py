@@ -29,13 +29,17 @@ def accuracy_topk(output: jax.Array, target: jax.Array,
 
     ``target`` may be (B,) class ids or (B, C) scores (multians: argmax used).
     """
-    maxk = max(topk)
+    # clamp k to the class count: with C < k classes every class is in the
+    # top-C, so precision@k == precision@C (tiny-vocab smoke configs)
+    n_classes = output.shape[-1]
+    maxk = min(max(topk), n_classes)
     batch_size = target.shape[0]
     if target.ndim == 2:
         target = jnp.argmax(target, axis=1)
     _, pred = jax.lax.top_k(output, maxk)  # (B, maxk)
     correct = pred == target[:, None]
-    return [jnp.sum(correct[:, :k]).astype(jnp.float32) * (100.0 / batch_size)
+    return [jnp.sum(correct[:, :min(k, n_classes)]).astype(jnp.float32)
+            * (100.0 / batch_size)
             for k in topk]
 
 
