@@ -64,6 +64,13 @@ also folded the (A, H) mixture GEMM into the kernel measured 194.9k —
 its backward recomputed classify+exp per step; rejected.)  The ``mfu``
 field adds the kernel's classify-GEMM FLOPs to XLA's count (custom
 calls are invisible to cost_analysis): 208.7k = MFU 0.295.
+-> **239.6k median (159.7x, MFU 0.34), spread 0.8%** (2026-08-19) once
+the measurement moved to 5 windows of 200 steps with 2 warm-up
+dispatches: the old single 50-step (~0.2 s) window was the source of
+the round-2 "179.8k driver vs 208.5k recorded" mystery — it measured
+one dispatch right after warm-up, where stragglers (layout settling,
+tunnel jitter) land; 1000 steps of settled execution reproduce within
+0.8% across windows.
 B=512 programs previously failed with transient
 'UNAVAILABLE: TPU device error' on most attempts (2026-08-16: 1/7, a
 failed program wedged the chip for minutes) so B=384 was the default;

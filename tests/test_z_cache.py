@@ -127,18 +127,20 @@ def test_z_cached_training_matches_uncached(setup):
                                    rtol=1e-2, atol=1e-2)
 
 
-def test_z_cache_host_accumulate_and_out_dtype(monkeypatch):
-    # Scale path: past Z_HOST_ACCUM_BYTES the chunks accumulate on host and
-    # upload once (the device-side f32 concat would transiently hold 2x the
-    # table — 15.6 GB at VQA2-CX train scale).  Numerics must be identical,
-    # the result still uncommitted; out_dtype chunk-casting must equal
-    # casting the finished table.
+def test_z_cache_device_accumulate_and_out_dtype(monkeypatch):
+    # Scale path: past Z_DEVICE_ACCUM_BYTES the chunks write in place into a
+    # preallocated device buffer via donated dynamic_update_slice (the
+    # chunk-list concat would transiently hold 2x the f32 table — 15.6 GB
+    # at VQA2-CX train scale — and the round-2 host-accumulate cost 422 s
+    # of tunneled D2H).  Numerics must be identical, the result still
+    # uncommitted; out_dtype chunk-casting must equal casting the finished
+    # table.
     # (fresh setup: the shared fixture's state gets donated by the training
     # test above)
     model, optimizer, state, features, arrays = _setup()
     q_table, v_table, z_table = _tables(model, state, features, arrays)
 
-    monkeypatch.setattr(cx_engine, "Z_HOST_ACCUM_BYTES", 0)
+    monkeypatch.setattr(cx_engine, "Z_DEVICE_ACCUM_BYTES", 0)
     z_host = cx_engine.precompute_z_emb(model, state.params, features,
                                         arrays.image_idxs, q_table,
                                         v_table=v_table, batch_size=20)

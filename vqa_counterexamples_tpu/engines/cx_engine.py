@@ -27,6 +27,8 @@ import optax
 from ..core import policy
 from ..core import rng as rng_lib
 from ..data import vqacx
+from ..ops.chunking import row_slice as _row_slice
+from ..ops.chunking import windows as _windows
 from ..ops.metrics import recall_at_k
 
 
@@ -106,14 +108,8 @@ def precompute_q_emb(model, params, question_wids, batch_size: int = 4096):
             method=lambda m, w: m.vqa_model.encode_question(w, True))
 
     outs = []
-    for i in range(0, n, chunk):
-        block = wids[i:i + chunk]
-        n_valid = block.shape[0]
-        if n_valid < chunk:  # pad to a single compiled shape
-            block = np.concatenate(
-                [block, np.zeros((chunk - n_valid, wids.shape[1]),
-                                 wids.dtype)], axis=0)
-        outs.append(encode(params, jnp.asarray(block))[:n_valid])
+    for s, off in _windows(n, chunk):
+        outs.append(encode(params, jnp.asarray(wids[s:s + chunk]))[off:])
     return jnp.concatenate(outs, axis=0)
 
 
@@ -146,19 +142,34 @@ def precompute_v_proj(model, params, features, batch_size: int = 8192):
             method=lambda m, v: m.vqa_model.project_image(v, True))
 
     outs = []
-    for i in range(0, n, chunk):
-        block = feats[i:i + chunk]
-        n_valid = block.shape[0]
-        if n_valid < chunk:  # pad to a single compiled shape
-            block = jnp.concatenate(
-                [block, jnp.zeros((chunk - n_valid, feats.shape[1]),
-                                  feats.dtype)], axis=0)
-        outs.append(project(params, block)[:n_valid])
+    for s, off in _windows(n, chunk):
+        # dynamic_slice with a TRACED start: ``feats[s:s+chunk]`` would be
+        # a static lax.slice — a distinct program per start offset, each
+        # paying a multi-second remote compile on this runtime (the v build
+        # measured 154 s for 11 chunks, 2026-08-19 profile)
+        block = _row_slice(feats, jnp.int32(s), chunk)
+        outs.append(project(params, block)[off:])
     return jnp.concatenate(outs, axis=0)
 
 
-# z tables past this accumulate on host and upload once (precompute_z_emb)
-Z_HOST_ACCUM_BYTES = 2 << 30
+# z tables past this accumulate IN PLACE on device: donated
+# dynamic_update_slice writes into a preallocated final-dtype buffer.  The
+# small-table path's chunk list + concatenate would hold ~2x the f32 table
+# transiently (15.6 GB at VQA2-CX train scale — past a 16 GB chip), and the
+# round-2 fix (accumulate on host, upload once) turned out catastrophically
+# slow through a tunneled chip: the 3.6 GB bf16 table took 422 s of D2H at
+# ~9 MB/s against ~2 s of fuse compute (soak run 2026-08-19).
+Z_DEVICE_ACCUM_BYTES = 2 << 30
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _accum_write(table, chunk, start):
+    """In-place (donated) row-block write at a traced start index."""
+    return jax.lax.dynamic_update_slice(
+        table, chunk.astype(table.dtype),
+        (start,) + (0,) * (chunk.ndim - 1))
+
+
 
 
 def precompute_z_emb(model, params, features, image_idxs, q_table,
@@ -188,16 +199,18 @@ def precompute_z_emb(model, params, features, image_idxs, q_table,
     (elementwise-identical to casting the finished table — the way the
     bench stores it bf16 — but never materializes the f32 table).
 
-    Tables past ~2 GB accumulate on the host and upload once: the on-device
-    chunk list + concatenate would otherwise hold 2x the f32 table
-    transiently (15.6 GB at VQA2-CX train scale — past a 16 GB chip), and
-    the host round-trip is what ``as_row_major`` does for the layout re-pin
-    anyway.
+    Tables past ~2 GB accumulate IN PLACE on device (donated
+    ``dynamic_update_slice`` into a preallocated final-dtype buffer), so
+    neither the 2x-table concatenate transient (15.6 GB f32 at VQA2-CX
+    train scale) nor a host round-trip ever exists — the round-2
+    host-accumulate variant cost 422 s of ~9 MB/s tunneled D2H for the
+    3.6 GB bf16 table against ~2 s of fuse compute (soak 2026-08-19).
     """
     idxs = np.asarray(image_idxs)
     n = idxs.shape[0]
     chunk = min(batch_size, n)
-    on_host = None  # decided from the first chunk's shape/dtype
+    big = None  # decided from the first chunk's shape/dtype
+    accum = None
 
     # params as an argument, not a closure (see precompute_q_emb)
     @jax.jit
@@ -208,40 +221,34 @@ def precompute_z_emb(model, params, features, image_idxs, q_table,
                 v, q, True, v_proj=v_rows))
 
     outs = []
-    in_flight = None  # host-accum: device chunk whose D2H is deferred one step
-    for i in range(0, n, chunk):
-        block = idxs[i:i + chunk]
-        q_rows = q_table[i:i + chunk]
-        n_valid = block.shape[0]
-        if n_valid < chunk:  # pad to a single compiled shape
-            pad = chunk - n_valid
-            block = np.concatenate([block, np.zeros((pad, block.shape[1]),
-                                                    block.dtype)], axis=0)
-            q_rows = jnp.concatenate(
-                [q_rows, jnp.zeros((pad, q_rows.shape[1]), q_rows.dtype)],
-                axis=0)
-        image_feats = jnp.take(features, jnp.asarray(block), axis=0)
-        v_rows = (jnp.take(v_table, jnp.asarray(block), axis=0)
+    for s, off in _windows(n, chunk):
+        bidx = jnp.asarray(idxs[s:s + chunk])
+        # traced-start dynamic_slice: a static q_table[s:s+chunk] would be
+        # a distinct program per offset (see precompute_v_proj)
+        q_rows = _row_slice(q_table, jnp.int32(s), chunk)
+        v_rows = (jnp.take(v_table, bidx, axis=0)
                   if v_table is not None else None)
-        out = fuse(params, image_feats, q_rows, v_rows)[:n_valid]
+        # fuse_candidates ignores input_v entirely when v_proj is given —
+        # skip the (chunk*(K+1), dim_v) feature gather (~420 MB/chunk)
+        image_feats = (None if v_table is not None
+                       else jnp.take(features, bidx, axis=0))
+        out = fuse(params, image_feats, q_rows, v_rows)
         if out_dtype is not None:
             out = out.astype(out_dtype)
-        if on_host is None:
+        if big is None:
             per_row = out.dtype.itemsize * int(np.prod(out.shape[1:]))
-            on_host = n * per_row > Z_HOST_ACCUM_BYTES
-        if on_host:
-            # keep one chunk in flight: fetch chunk i-1 only after chunk i's
-            # fuse has been dispatched, so D2H copies ride under device
-            # compute instead of serializing compute+copy per chunk
-            if in_flight is not None:
-                outs.append(np.asarray(in_flight))
-            in_flight = out
+            big = n * per_row > Z_DEVICE_ACCUM_BYTES
+            if big:
+                accum = jnp.zeros((n,) + out.shape[1:], out.dtype)
+        if big:
+            # full-window write at the window start: the tail window
+            # overlaps the previous one, rewriting those rows with
+            # identical values (same inputs) — idempotent
+            accum = _accum_write(accum, out, jnp.int32(s))
         else:
-            outs.append(out)
-    if on_host:
-        if in_flight is not None:
-            outs.append(np.asarray(in_flight))
-        return jax.device_put(np.concatenate(outs, axis=0))
+            outs.append(out[off:])
+    if big:
+        return as_row_major(accum)
     return as_row_major(jnp.concatenate(outs, axis=0))
 
 
@@ -262,13 +269,29 @@ def as_row_major(arr):
     Callers that cast the table afterwards should re-apply this (the cast
     is free to pick a tiled layout again).
     """
-    try:
-        m2m = arr.format.layout.major_to_minor
-        row_major = tuple(m2m) == tuple(range(arr.ndim))
-    except Exception:  # backends without layout introspection
-        row_major = True
-    if row_major and not getattr(arr, "committed", False):
+    def _ok(a):
+        try:
+            m2m = a.format.layout.major_to_minor
+            row_major = tuple(m2m) == tuple(range(a.ndim))
+        except Exception:  # backends without layout introspection
+            row_major = True
+        return row_major and not getattr(a, "committed", False)
+
+    if _ok(arr):
         return arr
+    # device-side re-pin first: copy into a freshly allocated buffer and
+    # verify by introspection that the compiler gave it row-major.  At
+    # multi-GB table sizes the host round-trip below costs minutes through
+    # a tunneled chip (~9 MB/s D2H measured 2026-08-19); the copy costs one
+    # on-device pass.  Introspection keeps this safe: if XLA tiled the copy
+    # output too, fall back to the proven host path.
+    try:
+        out = _accum_write(jnp.zeros(arr.shape, arr.dtype), arr,
+                           jnp.int32(0))
+        if _ok(out):
+            return out
+    except Exception:
+        pass
     import numpy as np
 
     return jax.device_put(np.asarray(arr))

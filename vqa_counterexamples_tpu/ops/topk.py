@@ -86,11 +86,14 @@ def knn(features, k: int = 25, queries=None, batch_size: int = 1024,
         from .pallas.knn_kernel import knn_chunk_pallas
         batch_size = min(batch_size, 256)  # VMEM budget (q + tile + topk)
     all_dist, all_idx = [], []
-    for start in range(0, n, batch_size):
-        chunk = qs[start:start + batch_size]
-        pad = batch_size - chunk.shape[0]
-        if pad:
-            chunk = jnp.pad(chunk, ((0, pad), (0, 0)))
+    size = min(batch_size, n)
+    # full-size windows via a traced-start dynamic_slice (ops/chunking.py):
+    # a static qs[start:start+batch] is a distinct compiled program per
+    # offset — at COCO query counts that is ~80 remote compiles
+    from .chunking import row_slice, windows
+
+    for s, off in windows(n, size):
+        chunk = row_slice(qs, jnp.int32(s), size)
         if mesh is not None:
             dist, idx = sharded_knn_chunk(chunk, corpus, k, mesh,
                                           axis=mesh_axis)
@@ -98,8 +101,8 @@ def knn(features, k: int = 25, queries=None, batch_size: int = 1024,
             dist, idx = knn_chunk_pallas(chunk, corpus, k)
         else:
             dist, idx = knn_chunk(chunk, corpus, k, approx=approx)
-        if pad:
-            dist, idx = dist[:-pad], idx[:-pad]
+        if off:
+            dist, idx = dist[off:], idx[off:]
         all_dist.append(np.asarray(dist))
         all_idx.append(np.asarray(idx))
     return np.concatenate(all_dist, 0), np.concatenate(all_idx, 0)
