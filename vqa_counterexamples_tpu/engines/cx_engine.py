@@ -63,15 +63,24 @@ def split_params(params: dict, frozen_keys: tuple):
 
 def init_cx_state(model, optimizer, example_batch: dict, features,
                   seed: int = 42, extra_apply_args: tuple = ()) -> CXTrainState:
-    """Initialize params from one example batch (shapes only matter)."""
+    """Initialize params from one example batch (shapes only matter).
+
+    Init traces a full forward, but parameter shapes (and values — they
+    depend only on the RNG keys and the non-batch dims) are independent of
+    batch size, so the trace runs on at most 8 rows: at B=768 the init
+    program's compile cost 130-520 s per run through this runtime's remote
+    compile service (soak runs 2026-08-19) for a program that executes once.
+    """
     key = jax.random.key(seed)
     k_param, k_drop, k_lesion = jax.random.split(key, 3)
-    image_features = jnp.asarray(features)[example_batch["image_idxs"]]
+    rows = min(8, len(example_batch["image_idxs"]))
+    image_features = jnp.asarray(features)[
+        jnp.asarray(example_batch["image_idxs"][:rows])]
     variables = model.init(
         {"params": k_param, "dropout": k_drop, "lesion": k_lesion},
         image_features,
-        jnp.asarray(example_batch["question_wids"]),
-        jnp.asarray(example_batch["answer_aids"]),
+        jnp.asarray(example_batch["question_wids"][:rows]),
+        jnp.asarray(example_batch["answer_aids"][:rows]),
         *extra_apply_args,
         deterministic=True)
     params = variables.get("params", {})
@@ -252,39 +261,66 @@ def precompute_z_emb(model, params, features, image_idxs, q_table,
     return as_row_major(jnp.concatenate(outs, axis=0))
 
 
-def as_row_major(arr):
-    """Return ``arr`` in the default row-major layout, **uncommitted**.
+def _canonical_m2m(shape, dtype):
+    """major_to_minor of the backend's DEFAULT layout for (shape, dtype).
 
-    The fusion einsum that builds the z table leaves its output
-    {0,2,1}-tiled on TPU while the train step's gather consumer wants
-    row-major — XLA then relayouts the ENTIRE table every step (xplane: a
-    (N, K+1, dim_mm) copy at 0.08 ms/step for N=2048, and it scales with
-    N).  Pinning the layout with an explicit ``Format`` device_put would
-    fix that but *commits* the array — and one committed operand poisons
-    every output of the AUTO-layout train step (outputs of a computation
-    with a committed input are committed), which ``jax.jit`` rejects on
-    re-entry under ``Layout.AUTO`` ("argument passed is a `jax.Array` with
-    a concrete layout").  A host round-trip yields the default row-major
-    layout on an uncommitted array: one-time cost at cache-build time.
-    Callers that cast the table afterwards should re-apply this (the cast
-    is free to pick a tiled layout again).
+    Queried from PJRT (``client.get_default_layout`` — returns the XLA
+    string form ``{0,2,1:T(8,128)(2,1)}`` whose braces list minor-to-major).
+    On this TPU runtime the canonical layout of an (N, K, D) table is NOT
+    row-major — e.g. {0,2,1}, i.e. major_to_minor (1, 2, 0) — and
+    ``jnp.zeros``, ``device_put`` from host, and jit outputs all agree on
+    it; comparing against literal row-major would call every one of them
+    "wrong" and trigger useless multi-GB re-pins (measured 2026-08-19:
+    91 s for the 1 GB q table, ~400 s for the 3.6 GB z table, all through
+    a ~9 MB/s tunnel, all no-ops).
     """
+    try:
+        dev = jax.devices()[0]
+        s = str(dev.client.get_default_layout(np.dtype(dtype), tuple(shape),
+                                              dev))
+        mtm = s.split("{", 1)[1].split(":", 1)[0].rstrip("}")
+        minor_to_major = tuple(int(v) for v in mtm.split(",") if v.strip())
+        if len(minor_to_major) == len(shape):
+            return tuple(reversed(minor_to_major))
+    except Exception:
+        pass
+    return tuple(range(len(shape)))
+
+
+def as_row_major(arr):
+    """Return ``arr`` in the backend's CANONICAL layout, **uncommitted**.
+
+    A z-table whose layout differs from the canonical one makes XLA
+    relayout the ENTIRE table once per step inside the train program
+    (round-2 xplane: a (N, K+1, dim_mm) copy at 0.08 ms/step for N=2048,
+    scaling with N).  Pinning the layout with an explicit ``Format``
+    device_put would fix that but *commits* the array — and one committed
+    operand poisons every output of the AUTO-layout train step (outputs of
+    a computation with a committed input are committed), which ``jax.jit``
+    rejects on re-entry under ``Layout.AUTO`` ("argument passed is a
+    `jax.Array` with a concrete layout").  So: verify against the queried
+    canonical layout (NOT literal row-major — see ``_canonical_m2m``),
+    re-pin on device when needed, host round-trip as the last resort.
+    Callers that cast the table afterwards should re-apply this (the cast
+    is free to pick another layout).
+    """
+    target = _canonical_m2m(arr.shape, arr.dtype)
+
     def _ok(a):
         try:
-            m2m = a.format.layout.major_to_minor
-            row_major = tuple(m2m) == tuple(range(a.ndim))
+            m2m = tuple(a.format.layout.major_to_minor)
         except Exception:  # backends without layout introspection
-            row_major = True
-        return row_major and not getattr(a, "committed", False)
+            return True
+        return m2m == target and not getattr(a, "committed", False)
 
     if _ok(arr):
         return arr
     # device-side re-pin first: copy into a freshly allocated buffer and
-    # verify by introspection that the compiler gave it row-major.  At
-    # multi-GB table sizes the host round-trip below costs minutes through
-    # a tunneled chip (~9 MB/s D2H measured 2026-08-19); the copy costs one
-    # on-device pass.  Introspection keeps this safe: if XLA tiled the copy
-    # output too, fall back to the proven host path.
+    # verify by introspection that it landed canonical.  At multi-GB table
+    # sizes the host round-trip below costs minutes through a tunneled chip
+    # (~9 MB/s D2H measured 2026-08-19); the copy costs one on-device pass.
+    # Introspection keeps this safe: if the copy output still differs,
+    # fall back to the proven host path.
     try:
         out = _accum_write(jnp.zeros(arr.shape, arr.dtype), arr,
                            jnp.int32(0))
@@ -292,8 +328,6 @@ def as_row_major(arr):
             return out
     except Exception:
         pass
-    import numpy as np
-
     return jax.device_put(np.asarray(arr))
 
 

@@ -28,11 +28,16 @@ class VQATrainState(NamedTuple):
 
 def init_vqa_state(model, optimizer, example_batch: dict,
                    seed: int = 42) -> VQATrainState:
+    # init on at most 8 rows: param shapes/values are batch-independent and
+    # the full-batch init compile is minutes through the remote compile
+    # service (see cx_engine.init_cx_state); slice BEFORE any conversion so
+    # an att-mode device-resident visual never round-trips whole
     key = jax.random.key(seed)
     k_param, k_drop = jax.random.split(key)
+    rows = min(8, len(example_batch["question"]))
     variables = model.init({"params": k_param, "dropout": k_drop},
-                           jnp.asarray(example_batch["visual"]),
-                           jnp.asarray(example_batch["question"]),
+                           jnp.asarray(example_batch["visual"][:rows]),
+                           jnp.asarray(example_batch["question"][:rows]),
                            deterministic=True)
     params = variables["params"]
     opt_state = optimizer.init(params) if optimizer is not None else None
