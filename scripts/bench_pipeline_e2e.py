@@ -58,19 +58,24 @@ def _make_jpegs(workdir):
     img_dir = os.path.join(workdir, "raw", "train2014")
     os.makedirs(img_dir, exist_ok=True)
     rng = np.random.default_rng(0)
-    base = []
-    for _ in range(16):  # 16 distinct COCO-sized JPEGs, cycled
-        x = (np.linspace(0, 255, 640)[None, :]
-             + rng.normal(0, 25, (480, 640))).clip(0, 255)
-        img = np.stack([x, np.roll(x, 9, 1), 255 - x], -1).astype(np.uint8)
-        buf = io.BytesIO()
-        Image.fromarray(img).save(buf, "JPEG", quality=90)
-        base.append(buf.getvalue())
+    # every image DISTINCT (rolled/brightness-shifted views of one noise
+    # canvas, one JPEG encode each): cycling a few identical JPEGs makes
+    # 48-way duplicate feature groups whose KNN lists degenerate under
+    # deterministic tie-breaking — the join then drops ~half the pairs
+    # regardless of how comp partners are chosen
+    x = (np.linspace(0, 255, 640)[None, :]
+         + rng.normal(0, 25, (480, 640))).clip(0, 255)
+    base = np.stack([x, np.roll(x, 9, 1), 255 - x], -1).astype(np.uint8)
     paths = []
     for i in range(N_IMG):
+        img = np.roll(base, (i * 7) % 480, axis=0)
+        img = np.roll(img, (i * 13) % 640, axis=1)
+        img = ((img.astype(np.int16) + (i % 17) - 8) % 256).astype(np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, "JPEG", quality=90)
         p = os.path.join(img_dir, "COCO_train2014_%012d.jpg" % i)
         with open(p, "wb") as f:
-            f.write(base[i % 16])
+            f.write(buf.getvalue())
         paths.append(p)
     return img_dir, paths
 
@@ -160,9 +165,20 @@ def main():
         examples, pairs = [], []
         n_pairs = N_EX // 2
         maxlength = 26
+
+        def mutual_partner(img):
+            """First neighbor that also lists img — so BOTH directions of
+            the pair survive the join (real comp pairs are mutual by
+            construction; asymmetric picks would drop ~half the examples
+            and shrink the train stage's scan length)."""
+            for j in knns[str(img)]:
+                if img in knns[str(j)]:
+                    return j
+            return knns[str(img)][0]
+
         for p in range(n_pairs):
             img = int(rng.integers(0, N_IMG))
-            comp = knns[str(img)][0]
+            comp = mutual_partner(img)
             for a, iid in enumerate((img, comp)):
                 wids = [0] * maxlength
                 for k in range(int(rng.integers(3, 10))):
@@ -238,24 +254,37 @@ def main():
                                                   use_z_cache=True)
         extra = cx_engine._cache_extras(q_table, None, z_table)
         scan_len = min(SCAN_LEN, arrays.size // BATCH)
+        report["train_scan_len"] = scan_len
         n_valids = jnp.full((scan_len,), float(BATCH), jnp.float32)
         rng = np.random.default_rng(0)
-        t0 = time.time()
-        losses = []
-        steps = 0
+        # pre-build the epochs' stacks, then warm one dispatch so the
+        # compile is reported separately from steady-state training
+        epochs_stacks = []
         for _ in range(EPOCHS):
-            pending = []
+            pending, stacks = [], []
             for idx, _ in vqacx.batch_indices(arrays.size, BATCH,
                                               shuffle=True, rng=rng,
                                               drop_remainder=True):
                 pending.append(vqacx.gather_batch(arrays, idx))
                 if len(pending) == scan_len:
-                    st = cx_engine.stack_batches(pending)
-                    state, m = train_scan(state, features, st, n_valids,
-                                          *extra)
-                    losses.append(m["loss"])
-                    steps += scan_len
+                    stacks.append(cx_engine.stack_batches(pending))
                     pending = []
+            epochs_stacks.append(stacks)
+        hard_sync(epochs_stacks)
+        t0 = time.time()
+        state, _ = train_scan(state, features, epochs_stacks[0][0],
+                              n_valids, *extra)
+        hard_sync(state.params)
+        report["train_compile_s"] = round(time.time() - t0, 1)
+
+        t0 = time.time()
+        losses = []
+        steps = 0
+        for stacks in epochs_stacks:
+            for st in stacks:
+                state, m = train_scan(state, features, st, n_valids, *extra)
+                losses.append(m["loss"])
+                steps += scan_len
         hard_sync(state.params)
         dt = time.time() - t0
         report["train_s"] = round(dt, 1)
