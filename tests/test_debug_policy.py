@@ -157,3 +157,79 @@ def test_bf16_resident_tables_still_learn():
                 first_loss = metrics["loss"]
         assert metrics["loss"] < first_loss
         assert metrics["recall"] > 0.55  # chance = 3/6 = 0.5
+
+
+def test_host_init_scope_forces_xla_gates_and_matches_jitted_init():
+    """host_init_scope: Pallas gates report inactive inside the scope, and
+    an eager (disable_jit) init produces the same values as flax's default
+    jitted init — the scope changes WHERE init runs, never what it returns.
+    """
+    import os
+
+    from vqa_counterexamples_tpu.models.fusion import MutanFusion
+
+    assert not policy.host_init_active()
+    with policy.host_init_scope():
+        assert policy.host_init_active()
+        # the tucker gate must refuse Pallas even when force-enabled
+        os.environ["VQACX_ENABLE_PALLAS"] = "1"
+        try:
+            from vqa_counterexamples_tpu.ops import fusion as ops_fusion
+
+            opt = {"dim_v": 8, "dim_q": 8, "dim_hv": 6, "dim_hq": 6,
+                   "dim_mm": 5, "R": 2, "dropout_v": 0.0, "dropout_q": 0.0,
+                   "activation_v": "tanh", "activation_q": "tanh",
+                   "dropout_hv": 0, "dropout_hq": 0}
+            x = jnp.ones((4, 8))
+            v_jit_free = MutanFusion(opt).init(jax.random.key(7), x, x,
+                                               deterministic=True)
+            del ops_fusion
+        finally:
+            del os.environ["VQACX_ENABLE_PALLAS"]
+    assert not policy.host_init_active()
+    v_jit = MutanFusion(opt).init(jax.random.key(7), jnp.ones((4, 8)),
+                                  jnp.ones((4, 8)), deterministic=True)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=1e-5),
+        v_jit_free, v_jit)
+
+
+def test_init_cx_state_runs_under_host_scope(monkeypatch):
+    """init_cx_state must construct params on the host path (no device jit
+    of the once-executed init program — measured 88-520 s on the tunneled
+    runtime)."""
+    import optax
+
+    from vqa_counterexamples_tpu.data import synthetic, vqacx
+    from vqa_counterexamples_tpu.engines import cx_engine
+    from vqa_counterexamples_tpu.models import factory
+
+    seen = {}
+    orig = policy.host_init_scope
+
+    def spy():
+        seen["used"] = True
+        return orig()
+
+    monkeypatch.setattr(policy, "host_init_scope", spy)
+    dataset, store = synthetic.make_synthetic_cx(
+        n_examples=8, n_images=8, dim_v=16, knn_size=4, n_words=10,
+        n_answers=6, seed=0)
+    opt = synthetic.tiny_vqa_options(dim_v=16, nans=6)
+    vqa = factory.factory_vqa(opt, dataset["vocab_words"],
+                              dataset["vocab_answers"])
+    spec = dict(dim_h=8, n_layers=1, drop_p=0.0, v_emb=True, v_mult=True,
+                v_dist=True, v_rank=True, q_emb=True, a_emb=True,
+                z_emb=True, pretrained_emb=False, trainable_vqa=False)
+    model = factory.factory_cx("NeuralModel", vqa, knn_size=4,
+                               model_spec=spec)
+    arrays = vqacx.CXArrays.from_examples(dataset["examples_list"],
+                                          dataset["name_to_index"])
+    state = cx_engine.init_cx_state(
+        model, optax.adam(1e-3), vqacx.gather_batch(arrays, np.arange(8)),
+        store.to_device())
+    assert seen.get("used"), "init_cx_state no longer uses host_init_scope"
+    assert jax.tree_util.tree_all(
+        jax.tree_util.tree_map(
+            lambda x: bool(np.all(np.isfinite(np.asarray(x)))), state.params))

@@ -76,7 +76,10 @@ def build_parser():
     return parser
 
 
-def main(argv=None):
+def main(argv=None, stats=None):
+    """``stats``: optional dict filled with per-phase timings (init_s,
+    first_batch_s incl. compile+first transfers, steady_img_per_sec,
+    finalize_s) so callers can attribute the wall-clock honestly."""
     import jax
     import jax.numpy as jnp
 
@@ -86,6 +89,8 @@ def main(argv=None):
     from ..parallel import maybe_initialize_distributed
     maybe_initialize_distributed(args)
 
+    stats = stats if stats is not None else {}
+    t_init = time.time()
     model = convnets.factory({"arch": args.arch, "pooling": False})
     params = convnets.init_resnet(model, image_size=args.size)
     if args.weights:
@@ -187,6 +192,7 @@ def main(argv=None):
                     out[i] = load(batch_names[i])
                 return out
 
+    stats["init_s"] = round(time.time() - t_init, 1)
     n = len(names)
     print("Extracting %d images (%s)" % (n, args.data_split))
     out_dir = os.path.join(args.dir_data, "extract",
@@ -251,9 +257,18 @@ def main(argv=None):
                                      else att_host)
             ds_noatt[start:end] = np.asarray(noatt, dtype=np.float32)
             done = end
+            if start == 0:
+                # compile + first H2D/D2H land here; steady state follows
+                stats["first_batch_s"] = round(time.time() - t0, 1)
+                t_steady = time.time()
             if (start // args.batch_size) % 10 == 0:
                 rate = done / (time.time() - t0)
                 print("  %d/%d (%.1f images/sec)" % (done, n, rate))
+        if done > args.batch_size:
+            stats["steady_img_per_sec"] = round(
+                (done - min(args.batch_size, done))
+                / max(time.time() - t_steady, 1e-9), 1)
+        t_fin = time.time()
         noatt_all = ds_noatt[:]
         if mm_att is not None:
             mm_att.flush()
@@ -267,6 +282,7 @@ def main(argv=None):
     with open(prefix + ".txt", "w") as f:
         for name in names:
             f.write(name + "\n")
+    stats["finalize_s"] = round(time.time() - t_fin, 1)
     rate = n / (time.time() - t0)
     print("Done: %s.{hdf5,npy,txt} (%.1f images/sec)" % (prefix, rate))
     return prefix

@@ -45,6 +45,47 @@ def compute_dtype_scope(dtype):
         _compute_dtype = prev
 
 
+_host_init = False
+
+
+def host_init_active() -> bool:
+    """True inside :func:`host_init_scope` — Pallas gates must route to the
+    XLA path because the computation runs on the host CPU backend."""
+    return _host_init
+
+
+@contextmanager
+def host_init_scope():
+    """Run flax ``init`` on the host: eager (no jit) on the CPU backend with
+    every Pallas gate forced off.
+
+    Rationale: flax jits ``init``, and on a tunneled TPU runtime the
+    remote compile of an init program that executes exactly once measured
+    88-520 s (soak/E2E runs 2026-08-19).  An 8-row eager CPU trace takes
+    seconds, and threefry is backend-deterministic so the values are the
+    ones the TPU would have produced.  Callers ``device_put`` the tree
+    afterwards.
+    """
+    import jax
+
+    global _host_init
+    prev = _host_init
+    _host_init = True
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:  # no CPU backend: fall back to default device
+        cpu = None
+    try:
+        if cpu is None:
+            with jax.disable_jit():
+                yield
+        else:
+            with jax.default_device(cpu), jax.disable_jit():
+                yield
+    finally:
+        _host_init = prev
+
+
 def cast_in(*arrays):
     """Cast matmul operands to the policy dtype (no-op under f32)."""
     dt = _compute_dtype

@@ -71,19 +71,35 @@ def init_cx_state(model, optimizer, example_batch: dict, features,
     program's compile cost 130-520 s per run through this runtime's remote
     compile service (soak runs 2026-08-19) for a program that executes once.
     """
-    key = jax.random.key(seed)
-    k_param, k_drop, k_lesion = jax.random.split(key, 3)
+    import numpy as np
+
+    from ..core import policy
+
     rows = min(8, len(example_batch["image_idxs"]))
-    image_features = jnp.asarray(features)[
-        jnp.asarray(example_batch["image_idxs"][:rows])]
-    variables = model.init(
-        {"params": k_param, "dropout": k_drop, "lesion": k_lesion},
-        image_features,
-        jnp.asarray(example_batch["question_wids"][:rows]),
-        jnp.asarray(example_batch["answer_aids"][:rows]),
-        *extra_apply_args,
-        deterministic=True)
-    params = variables.get("params", {})
+    # pull the 8 sample rows to the host: the init forward runs eagerly on
+    # the CPU backend (host_init_scope) — flax jits init, and the remote
+    # compile of a once-executed program measured 88-520 s on this runtime
+    idx = np.asarray(example_batch["image_idxs"][:rows])
+    image_features = np.asarray(features)[idx] if isinstance(
+        features, np.ndarray) else np.asarray(
+            jnp.asarray(features)[jnp.asarray(idx)])
+    host_extra = jax.tree_util.tree_map(np.asarray, extra_apply_args)
+    with policy.host_init_scope():
+        key = jax.random.key(seed)
+        k_param, k_drop, k_lesion = jax.random.split(key, 3)
+        variables = model.init(
+            {"params": k_param, "dropout": k_drop, "lesion": k_lesion},
+            jnp.asarray(image_features),
+            jnp.asarray(np.asarray(example_batch["question_wids"][:rows])),
+            jnp.asarray(np.asarray(example_batch["answer_aids"][:rows])),
+            *host_extra,
+            deterministic=True)
+    # transfer WITHOUT committing (no explicit device): committed inputs
+    # change the jit dispatch key and the program's sharding annotations,
+    # which turned every downstream precompute/train program into a fresh
+    # remote compile (A/B 2026-08-19: cache 97.8 s vs 7.4 s, train 22.1k
+    # vs 599.8k ex/s on identical param values)
+    params = jax.device_put(variables.get("params", {}))
     trainable, _ = split_params(params, frozen_param_keys(model))
     opt_state = optimizer.init(trainable) if optimizer is not None else None
     return CXTrainState(params=params, opt_state=opt_state,

@@ -32,14 +32,22 @@ def init_vqa_state(model, optimizer, example_batch: dict,
     # the full-batch init compile is minutes through the remote compile
     # service (see cx_engine.init_cx_state); slice BEFORE any conversion so
     # an att-mode device-resident visual never round-trips whole
-    key = jax.random.key(seed)
-    k_param, k_drop = jax.random.split(key)
+    import numpy as np
+
+    from ..core import policy
+
     rows = min(8, len(example_batch["question"]))
-    variables = model.init({"params": k_param, "dropout": k_drop},
-                           jnp.asarray(example_batch["visual"][:rows]),
-                           jnp.asarray(example_batch["question"][:rows]),
-                           deterministic=True)
-    params = variables["params"]
+    visual = np.asarray(example_batch["visual"][:rows])
+    question = np.asarray(example_batch["question"][:rows])
+    with policy.host_init_scope():  # eager CPU init (see cx_engine)
+        key = jax.random.key(seed)
+        k_param, k_drop = jax.random.split(key)
+        variables = model.init({"params": k_param, "dropout": k_drop},
+                               jnp.asarray(visual), jnp.asarray(question),
+                               deterministic=True)
+    # no explicit device: committed params change jit dispatch keys and
+    # force downstream recompiles (see cx_engine.init_cx_state)
+    params = jax.device_put(variables["params"])
     opt_state = optimizer.init(params) if optimizer is not None else None
     return VQATrainState(params, opt_state, jnp.zeros((), jnp.int32))
 

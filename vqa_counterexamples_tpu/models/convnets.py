@@ -131,8 +131,32 @@ def factory(opt: dict) -> ResNet:
 
 
 def init_resnet(model: ResNet, image_size: int = 448, seed: int = 0):
-    return model.init(jax.random.key(seed),
-                      jnp.zeros((1, image_size, image_size, 3)))["params"]
+    """Host-side init: the param TREE comes from ``jax.eval_shape`` (no
+    device compile — a cold flax ``init`` of the 152-layer trunk costs
+    ~100 s through a remote-compile tunnel, measured) and the values are
+    numpy fan-in normals (conv kernels) / BN identity, matching flax's
+    lecun variance scaling.  Random values only feed the weights-less
+    smoke path; ported checkpoints overwrite them (reference always loads
+    pretrained fbresnet152, convnets.py:76-80)."""
+    import numpy as np
+
+    shapes = jax.eval_shape(
+        model.init, jax.random.key(seed),
+        jax.ShapeDtypeStruct((1, image_size, image_size, 3), jnp.float32))
+    rng = np.random.default_rng(seed)
+
+    def fill(path, sds):
+        name = path[-1].key
+        if name == "kernel":
+            fan_in = int(np.prod(sds.shape[:-1]))
+            arr = rng.normal(0.0, (1.0 / fan_in) ** 0.5, sds.shape)
+        elif name in ("scale", "var"):
+            arr = np.ones(sds.shape)
+        else:  # bias, mean
+            arr = np.zeros(sds.shape)
+        return jnp.asarray(arr, dtype=sds.dtype)
+
+    return jax.tree_util.tree_map_with_path(fill, shapes["params"])
 
 
 def load_torch_resnet152(params: dict, state_dict_path: str) -> dict:

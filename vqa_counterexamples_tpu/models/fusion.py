@@ -35,7 +35,9 @@ def _att_pallas_ok(k1: int) -> bool:
     (the (Dh, R, M) middle-dim slices lowered to strided VPU access —
     fwd 7.1 -> 3.9 ms, bwd 11.4 -> 5.4 ms micro-bench)."""
     mode = os.environ.get("VQACX_ATT_PALLAS", "auto")
-    if mode == "0":
+    from ..core.policy import host_init_active
+
+    if mode == "0" or host_init_active():
         return False
     from ..core.policy import compute_dtype
 

@@ -107,7 +107,10 @@ def tucker_rank_fusion_auto(x_v: jax.Array, x_q: jax.Array,
     """
     import os
 
-    enabled = os.environ.get("VQACX_ENABLE_PALLAS", "0") == "1"
+    from ..core.policy import host_init_active
+
+    enabled = (os.environ.get("VQACX_ENABLE_PALLAS", "0") == "1"
+               and not host_init_active())
     on_tpu = jax.devices()[0].platform == "tpu"
     if enabled and on_tpu and x_v.shape[0] >= PALLAS_MIN_BATCH:
         return _tucker_pallas_vjp(x_v, x_q, w_v, b_v, w_q, b_q, rank)

@@ -120,10 +120,10 @@ def _pallas_gru_eligible(batch: int, h0, mode: str) -> bool:
     with the kernel vs 10.6k with the scan, while B=256 wins 13.2k vs 12.1k
     (v5e, 2026-08-17) — so 'auto'/'1' only engage at batch >= 256.
     """
-    from ..core.policy import compute_dtype
+    from ..core.policy import compute_dtype, host_init_active
     from .pallas.gru_kernel import MIN_BATCH
 
-    if mode == "0":
+    if mode == "0" or host_init_active():
         return False
     # no MAX_BATCH cap: batches beyond the kernel's VMEM plan run as
     # equal chunks (see _gru_pallas_path)
