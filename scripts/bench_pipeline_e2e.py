@@ -271,6 +271,10 @@ def main():
                                                   use_z_cache=True)
         extra = cx_engine._cache_extras(q_table, None, z_table)
         scan_len = min(SCAN_LEN, arrays.size // BATCH)
+        if scan_len < 1:
+            raise SystemExit(
+                "join kept %d examples < batch size %d — lower E2E_BATCH "
+                "or raise E2E_EXAMPLES" % (arrays.size, BATCH))
         report["train_scan_len"] = scan_len
         n_valids = jnp.full((scan_len,), float(BATCH), jnp.float32)
         rng = np.random.default_rng(0)
@@ -307,9 +311,12 @@ def main():
         report["train_s"] = round(dt, 1)
         report["train_examples_per_sec"] = round(steps * BATCH / dt, 1)
         losses = [float(jnp.mean(x)) for x in losses]
-        report["loss_first_last"] = [round(losses[0], 4),
-                                     round(losses[-1], 4)]
         report["loss_finite"] = bool(np.all(np.isfinite(losses)))
+        # non-finite losses become null: allow_nan=False would otherwise
+        # raise at dump time and discard the whole multi-stage run
+        report["loss_first_last"] = [
+            round(x, 4) if np.isfinite(x) else None
+            for x in (losses[0], losses[-1])]
 
         total = sum(v for k, v in report.items()
                     if k.endswith("_s") and isinstance(v, (int, float)))

@@ -131,7 +131,15 @@ def main():
                 "items_per_sec": round(n_clients * m_requests / wall, 1)}
 
     req = {"visual": b64, "question": question}
-    batcher.submit(req)  # warm the coalescing buckets
+    # warm EVERY power-of-two bucket the coalescer can land on under this
+    # load (arrivals pad to the next bucket): a cold bucket compile inside
+    # the measured window would bias the batched arm vs the fully-warm
+    # direct arm
+    bucket = 1
+    while bucket <= n_clients:
+        engine.answer_batch([{"visual": b64, "question": question}] * bucket)
+        bucket *= 2
+    batcher.submit(req)  # warm the batcher plumbing itself
     for tag, call in (("direct", lambda: engine.answer(b64, question)),
                       ("batched", lambda: batcher.submit(req))):
         for k, v in run_load(call).items():

@@ -121,7 +121,8 @@ def main():
 
     # frozen-backbone caches, built in the bench's order but sized for a
     # 16 GB chip: q f32 transiently (~2.1 GB), z emitted bf16 chunk-by-chunk
-    # (host-accumulated inside precompute_z_emb — the f32 table never exists)
+    # into a preallocated device buffer (donated dynamic_update_slice inside
+    # precompute_z_emb — neither the f32 table nor a host copy ever exists)
     t0 = time.time()
     q_table = cx_engine.precompute_q_emb(model, state.params,
                                          arrays.question_wids,

@@ -159,33 +159,27 @@ def test_bf16_resident_tables_still_learn():
         assert metrics["recall"] > 0.55  # chance = 3/6 = 0.5
 
 
-def test_host_init_scope_forces_xla_gates_and_matches_jitted_init():
+def test_host_init_scope_forces_xla_gates_and_matches_jitted_init(monkeypatch):
     """host_init_scope: Pallas gates report inactive inside the scope, and
     an eager (disable_jit) init produces the same values as flax's default
     jitted init — the scope changes WHERE init runs, never what it returns.
     """
-    import os
-
     from vqa_counterexamples_tpu.models.fusion import MutanFusion
 
     assert not policy.host_init_active()
     with policy.host_init_scope():
         assert policy.host_init_active()
         # the tucker gate must refuse Pallas even when force-enabled
-        os.environ["VQACX_ENABLE_PALLAS"] = "1"
-        try:
-            from vqa_counterexamples_tpu.ops import fusion as ops_fusion
-
-            opt = {"dim_v": 8, "dim_q": 8, "dim_hv": 6, "dim_hq": 6,
-                   "dim_mm": 5, "R": 2, "dropout_v": 0.0, "dropout_q": 0.0,
-                   "activation_v": "tanh", "activation_q": "tanh",
-                   "dropout_hv": 0, "dropout_hq": 0}
-            x = jnp.ones((4, 8))
-            v_jit_free = MutanFusion(opt).init(jax.random.key(7), x, x,
-                                               deterministic=True)
-            del ops_fusion
-        finally:
-            del os.environ["VQACX_ENABLE_PALLAS"]
+        # (monkeypatch restores any pre-existing value after the test)
+        monkeypatch.setenv("VQACX_ENABLE_PALLAS", "1")
+        opt = {"dim_v": 8, "dim_q": 8, "dim_hv": 6, "dim_hq": 6,
+               "dim_mm": 5, "R": 2, "dropout_v": 0.0, "dropout_q": 0.0,
+               "activation_v": "tanh", "activation_q": "tanh",
+               "dropout_hv": 0, "dropout_hq": 0}
+        x = jnp.ones((4, 8))
+        v_jit_free = MutanFusion(opt).init(jax.random.key(7), x, x,
+                                           deterministic=True)
+    monkeypatch.delenv("VQACX_ENABLE_PALLAS")
     assert not policy.host_init_active()
     v_jit = MutanFusion(opt).init(jax.random.key(7), jnp.ones((4, 8)),
                                   jnp.ones((4, 8)), deterministic=True)

@@ -101,7 +101,8 @@ def main(argv=None):
 
     # table width = the encoder's actual output dim (2400 for the flagship
     # skip-thoughts encoder; whatever dim_q the configured model emits)
-    dim = int(encode(np.zeros((1, maxlength), np.int32)).shape[-1])
+    dim = int(jax.eval_shape(
+        encode, np.zeros((1, maxlength), np.int32)).shape[-1])
     table = build_table(encode, vocab_answers, word_to_wid,
                         maxlength=maxlength, dim=dim,
                         pad=options["vqa"].get("pad", "right"))

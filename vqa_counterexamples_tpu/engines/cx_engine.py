@@ -71,10 +71,6 @@ def init_cx_state(model, optimizer, example_batch: dict, features,
     program's compile cost 130-520 s per run through this runtime's remote
     compile service (soak runs 2026-08-19) for a program that executes once.
     """
-    import numpy as np
-
-    from ..core import policy
-
     rows = min(8, len(example_batch["image_idxs"]))
     # pull the 8 sample rows to the host: the init forward runs eagerly on
     # the CPU backend (host_init_scope) — flax jits init, and the remote
@@ -155,7 +151,9 @@ def precompute_v_proj(model, params, features, batch_size: int = 8192):
     reference dims (R=10, dim_mm=360) — comfortably HBM-resident next to the
     680 MB feature matrix.
     """
-    feats = features
+    # one transfer up front: a host numpy matrix fed straight into the
+    # jitted windows would re-upload the FULL table per dispatch
+    feats = jnp.asarray(features)
     n = feats.shape[0]
     chunk = min(batch_size, n)
 
@@ -234,6 +232,12 @@ def precompute_z_emb(model, params, features, image_idxs, q_table,
     idxs = np.asarray(image_idxs)
     n = idxs.shape[0]
     chunk = min(batch_size, n)
+    # one transfer up front (host inputs would re-upload per window)
+    q_table = jnp.asarray(q_table)
+    if v_table is None:
+        features = jnp.asarray(features)
+    else:
+        v_table = jnp.asarray(v_table)
     big = None  # decided from the first chunk's shape/dtype
     accum = None
 

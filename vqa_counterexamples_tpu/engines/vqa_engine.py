@@ -13,6 +13,7 @@ from typing import Any, Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from ..core import policy
@@ -32,10 +33,6 @@ def init_vqa_state(model, optimizer, example_batch: dict,
     # the full-batch init compile is minutes through the remote compile
     # service (see cx_engine.init_cx_state); slice BEFORE any conversion so
     # an att-mode device-resident visual never round-trips whole
-    import numpy as np
-
-    from ..core import policy
-
     rows = min(8, len(example_batch["question"]))
     visual = np.asarray(example_batch["visual"][:rows])
     question = np.asarray(example_batch["question"][:rows])
