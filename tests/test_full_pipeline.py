@@ -51,18 +51,26 @@ def test_pipeline_chain(tmp_path):
     comp_pairs = []
     qid = 0
     for img in range(n_images):
-        # a pair of questions whose images are mutual neighbors when possible
+        # a pair of questions whose images are mutual neighbors when
+        # possible; the answer id encodes the partner's knn rank (the same
+        # learnable signal data/synthetic.py and the E2E artifact plant),
+        # so training through the REAL join demonstrably learns below
         neigh = knns[str(img)][0]
+        rank_fwd = 0  # neigh is img's nearest neighbor by construction
+        rank_bwd = (knns[str(neigh)].index(img)
+                    if img in knns[str(neigh)] else 0)
         examples.append({"question_id": qid,
                          "image_name": vqacx.coco_num_to_name(img),
                          "question": "what is this",
                          "question_wids": [1, 2, 3, 0, 0, 0],
-                         "answer": "yes", "answer_aid": 0})
+                         "answer": "a%d" % rank_fwd,
+                         "answer_aid": rank_fwd})
         examples.append({"question_id": qid + 1,
                          "image_name": vqacx.coco_num_to_name(neigh),
                          "question": "what is that",
                          "question_wids": [1, 2, 4, 0, 0, 0],
-                         "answer": "no", "answer_aid": 1})
+                         "answer": "a%d" % rank_bwd,
+                         "answer_aid": rank_bwd})
         comp_pairs.append([qid, qid + 1])
         qid += 2
     with open(processed / "trainset.pickle", "wb") as f:
@@ -70,7 +78,7 @@ def test_pipeline_chain(tmp_path):
     with open(processed / "wid_to_word.pickle", "wb") as f:
         pickle.dump({1: "what", 2: "is", 3: "this", 4: "that"}, f)
     with open(processed / "aid_to_ans.pickle", "wb") as f:
-        pickle.dump(["yes", "no"], f)
+        pickle.dump(["a%d" % i for i in range(6)], f)
     with open(tmp_path / "pairs.json", "w") as f:
         json.dump(comp_pairs, f)
 
@@ -99,7 +107,7 @@ def test_pipeline_chain(tmp_path):
     arrays = vqacx.CXArrays.from_examples(ds["examples_list"],
                                           store.name_to_index)
     features = jnp.asarray(np.asarray(FeatureStore.load(prefix).features))
-    opt = tiny_vqa_options(dim_v=features.shape[1], nans=2)
+    opt = tiny_vqa_options(dim_v=features.shape[1], nans=6)
     vqa_model = factory.factory_vqa(opt, ds["vocab_words"],
                                     ds["vocab_answers"])
     spec = dict(dim_h=16, n_layers=1, drop_p=0.0, v_emb=True, v_mult=True,
@@ -113,8 +121,13 @@ def test_pipeline_chain(tmp_path):
         model, optimizer, vqacx.gather_batch(arrays, np.arange(bsz)),
         features)
     ts = cx_engine.make_cx_train_step(model, optimizer, recall_k=3)
-    for idx, n_valid in vqacx.batch_indices(arrays.size, bsz, shuffle=True,
-                                            rng=np.random.default_rng(0)):
-        state, m = ts(state, features, vqacx.gather_batch(arrays, idx),
-                      jnp.asarray(n_valid, jnp.float32))
-    assert np.isfinite(float(m["loss"]))
+    es = cx_engine.make_cx_eval_step(model, recall_k=3)
+    rng2 = np.random.default_rng(0)
+    for _ in range(8):
+        state, _ = cx_engine.train_epoch(ts, state, features, arrays, bsz,
+                                         rng=rng2)
+    ev = cx_engine.eval_model(es, state.params, features, arrays, bsz)
+    assert np.isfinite(ev["loss"])
+    # the planted aid->rank signal must be learnable through the real
+    # extract->knn->join chain; chance recall@3 = 3/knn_size = 0.5
+    assert ev["recall"] > 0.65, ev
