@@ -57,12 +57,17 @@ def main():
     rng = np.random.default_rng(0)
     import jax.numpy as jnp
 
-    key = jax.random.key(0)
-    kp, kd = jax.random.split(key)
-    vqa_params = model.init(
-        {"params": kp, "dropout": kd},
-        jnp.zeros((1, 2048), jnp.float32),
-        jnp.zeros((1, 26), jnp.int32), deterministic=True)["params"]
+    from vqa_counterexamples_tpu.core import policy
+
+    with policy.host_init_scope():  # eager CPU init: the jitted init of
+        # the once-executed program costs minutes of remote compile here
+        key = jax.random.key(0)
+        kp, kd = jax.random.split(key)
+        vqa_params = model.init(
+            {"params": kp, "dropout": kd},
+            jnp.zeros((1, 2048), jnp.float32),
+            jnp.zeros((1, 26), jnp.int32), deterministic=True)["params"]
+    vqa_params = jax.device_put(vqa_params)  # uncommitted (see cx_engine)
     cnn = convnets.factory({"arch": "fbresnet152", "pooling": False})
     cnn_params = convnets.init_resnet(cnn, image_size=448)
 
