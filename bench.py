@@ -217,32 +217,10 @@ def main():
                                               use_z_cache=use_z_cache)
     def build_caches():
         """One q/v/z cache build; returns (tables, per-stage seconds)."""
-        stage_s = {}
-        q_table = v_table = z_table = None
-        if use_q_cache:
-            t = time.time()
-            q_table = cx_engine.precompute_q_emb(model, state.params,
-                                                 arrays.question_wids,
-                                                 batch_size=2048)
-            hard_sync(q_table)
-            stage_s["q"] = time.time() - t
-        if use_v_cache:
-            t = time.time()
-            v_table = cx_engine.precompute_v_proj(model, state.params,
-                                                  features)
-            hard_sync(v_table)
-            stage_s["v"] = time.time() - t
-        if use_z_cache:
-            t = time.time()
-            z_table = cx_engine.precompute_z_emb(model, state.params,
-                                                 features,
-                                                 arrays.image_idxs, q_table,
-                                                 v_table=v_table)
-            hard_sync(z_table)
-            stage_s["z"] = time.time() - t
-            # z subsumes v in the step; v was only the build intermediate
-            v_table = None
-        return q_table, v_table, z_table, stage_s
+        return cx_engine.build_frozen_caches(
+            model, state.params, features, arrays,
+            use_q=use_q_cache, use_v=use_v_cache, use_z=use_z_cache,
+            v_build_aid=False)
 
     t0 = time.time()
     q_table, v_table, z_table, cache_stage_s = build_caches()
@@ -266,15 +244,9 @@ def main():
     bf16_tables = (os.environ.get("VQACX_COMPUTE_DTYPE") == "bfloat16"
                    and os.environ.get("VQACX_BENCH_BF16_TABLES", "1") == "1")
     if bf16_tables:
-        features = features.astype(jnp.bfloat16)
-        if q_table is not None:
-            q_table = q_table.astype(jnp.bfloat16)
-        if v_table is not None:
-            v_table = v_table.astype(jnp.bfloat16)
-        if z_table is not None:
-            # the cast may re-tile; re-pin row-major (uncommitted) so the
-            # step's gather doesn't relayout the whole table every step
-            z_table = cx_engine.as_row_major(z_table.astype(jnp.bfloat16))
+        features, q_table, v_table, z_table = (
+            cx_engine.make_tables_bf16_resident(features, q_table, v_table,
+                                                z_table))
     extra = cx_engine._cache_extras(q_table, v_table, z_table)
     # first build + bf16 residency cast; the diagnostic rebuild is excluded
     q_build_s = time.time() - t0 - rebuild_elapsed

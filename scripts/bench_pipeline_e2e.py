@@ -256,16 +256,11 @@ def main():
         report["model_init_s"] = round(time.time() - t0, 1)
 
         t0 = time.time()
-        q_table = cx_engine.precompute_q_emb(model, state.params,
-                                             arrays.question_wids,
-                                             batch_size=2048)
-        v_table = cx_engine.precompute_v_proj(model, state.params, features)
-        z_table = cx_engine.precompute_z_emb(model, state.params, features,
-                                             arrays.image_idxs, q_table,
-                                             v_table=v_table,
-                                             out_dtype=jnp.bfloat16)
-        features = features.astype(jnp.bfloat16)
-        q_table = cx_engine.as_row_major(q_table.astype(jnp.bfloat16))
+        q_table, _, z_table, _ = cx_engine.build_frozen_caches(
+            model, state.params, features, arrays,
+            z_out_dtype=jnp.bfloat16)
+        features, q_table, _, z_table = cx_engine.make_tables_bf16_resident(
+            features, q_table, None, z_table)
         hard_sync([q_table, z_table])
         report["cache_build_s"] = round(time.time() - t0, 1)
 

@@ -139,9 +139,11 @@ def main():
     # warm EVERY power-of-two bucket the coalescer can land on under this
     # load (arrivals pad to the next bucket): a cold bucket compile inside
     # the measured window would bias the batched arm vs the fully-warm
-    # direct arm
+    # direct arm.  Up to 2*n_clients, not n_clients: with a non-power-of-two
+    # client count the largest coalesced batch pads to the NEXT bucket above
+    # n_clients, which must be warm too.
     bucket = 1
-    while bucket <= n_clients:
+    while bucket < 2 * n_clients:
         engine.answer_batch([{"visual": b64, "question": question}] * bucket)
         bucket *= 2
     batcher.submit(req)  # warm the batcher plumbing itself

@@ -119,30 +119,18 @@ def main():
     hard_sync(state.params)
     report["init_s"] = round(time.time() - t0, 1)
 
-    # frozen-backbone caches, built in the bench's order but sized for a
-    # 16 GB chip: q f32 transiently (~2.1 GB), z emitted bf16 chunk-by-chunk
-    # into a preallocated device buffer (donated dynamic_update_slice inside
-    # precompute_z_emb — neither the f32 table nor a host copy ever exists)
-    t0 = time.time()
-    q_table = cx_engine.precompute_q_emb(model, state.params,
-                                         arrays.question_wids,
-                                         batch_size=2048)
-    hard_sync(q_table)
-    report["q_build_s"] = round(time.time() - t0, 1)
+    # frozen-backbone caches (shared recipe, cx_engine.build_frozen_caches)
+    # sized for a 16 GB chip: q f32 transiently (~2.1 GB), z emitted bf16
+    # chunk-by-chunk into a preallocated device buffer (donated
+    # dynamic_update_slice inside precompute_z_emb — neither the f32 table
+    # nor a host copy ever exists)
+    q_table, _, z_table, stage_s = cx_engine.build_frozen_caches(
+        model, state.params, features, arrays, z_out_dtype=jnp.bfloat16)
+    report["q_build_s"] = round(stage_s["q"], 1)
+    report["z_build_s"] = round(stage_s["v"] + stage_s["z"], 1)
 
-    t0 = time.time()
-    v_table = cx_engine.precompute_v_proj(model, state.params, features)
-    hard_sync(v_table)
-    z_table = cx_engine.precompute_z_emb(model, state.params, features,
-                                         arrays.image_idxs, q_table,
-                                         v_table=v_table,
-                                         out_dtype=jnp.bfloat16)
-    del v_table  # z subsumes v in the step; free the 1.2 GB build aid
-    hard_sync(z_table)
-    report["z_build_s"] = round(time.time() - t0, 1)
-
-    features = features.astype(jnp.bfloat16)
-    q_table = cx_engine.as_row_major(q_table.astype(jnp.bfloat16))
+    features, q_table, _, z_table = cx_engine.make_tables_bf16_resident(
+        features, q_table, None, z_table)
     hard_sync(q_table)
     report["z_table_gb"] = round(z_table.size * z_table.dtype.itemsize
                                  / 2**30, 2)

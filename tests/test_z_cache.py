@@ -197,3 +197,35 @@ def test_z_cache_rejects_trainable_vqa(setup):
     trainable = model.clone(trainable_vqa=True)
     with pytest.raises(ValueError):
         cx_engine.make_cx_train_step(trainable, optimizer, use_z_cache=True)
+
+
+def test_build_frozen_caches_shared_recipe():
+    # the shared builder (bench/soak/E2E recipe) matches the hand-built
+    # tables and enforces the "z subsumes v" rule.  Fresh setup: the
+    # module fixture's state is donated away by the training test above.
+    model, optimizer, state, features, arrays = _setup()
+    q_ref, v_ref, z_ref = _tables(model, state, features, arrays,
+                                  z_chunk=arrays.size)
+
+    q, v, z, stage_s = cx_engine.build_frozen_caches(
+        model, state.params, features, arrays)
+    assert v is None  # z subsumes v in the step
+    assert set(stage_s) == {"q", "v", "z"}  # v built as the z build aid
+    np.testing.assert_allclose(np.asarray(q), np.asarray(q_ref),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(z), np.asarray(z_ref),
+                               rtol=1e-6, atol=1e-6)
+
+    # v kept (and timed) when requested without z
+    q2, v2, z2, stage2 = cx_engine.build_frozen_caches(
+        model, state.params, features, arrays, use_v=True, use_z=False)
+    assert z2 is None and set(stage2) == {"q", "v"}
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(v_ref),
+                               rtol=1e-6, atol=1e-6)
+
+    # bf16 residency: dtypes flip, values stay within a bf16 ulp
+    f16, q16, _, z16 = cx_engine.make_tables_bf16_resident(
+        features, q, None, z)
+    assert f16.dtype == q16.dtype == z16.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(z16, np.float32), np.asarray(z),
+                               rtol=8e-3, atol=8e-3)

@@ -78,14 +78,19 @@ def main(argv=None):
                            "aid_to_ans.pickle"), "rb") as f:
         vocab_answers = pickle.load(f)
 
+    from ..core import policy
+
     model = factory.factory_vqa(options["model"], tuple(vocab_words),
                                 tuple(vocab_answers))
     dim_v = options["model"]["fusion"]["dim_v"]
     maxlength = options["vqa"]["maxlength"]
-    params = model.init(
-        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
-        jnp.zeros((1, dim_v)), jnp.zeros((1, maxlength), jnp.int32),
-        deterministic=True)["params"]
+    with policy.host_init_scope():  # eager CPU init — the jitted init is a
+        # once-executed program whose remote compile costs minutes here
+        params = model.init(
+            {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+            jnp.zeros((1, dim_v)), jnp.zeros((1, maxlength), jnp.int32),
+            deterministic=True)["params"]
+    params = jax.device_put(params)  # uncommitted (see engines/cx_engine)
     if args.dir_logs:
         _, loaded, _ = ckpt_lib.load_vqa_checkpoint(
             params, None, os.path.join(args.dir_logs, "best"))

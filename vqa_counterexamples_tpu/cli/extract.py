@@ -266,7 +266,7 @@ def main(argv=None, stats=None):
                 print("  %d/%d (%.1f images/sec)" % (done, n, rate))
         if done > args.batch_size:
             stats["steady_img_per_sec"] = round(
-                (done - min(args.batch_size, done))
+                (done - args.batch_size)
                 / max(time.time() - t_steady, 1e-9), 1)
         t_fin = time.time()
         noatt_all = ds_noatt[:]

@@ -40,7 +40,11 @@ def make_synthetic_cx(n_examples: int = 256, n_images: int = 128,
     only require structurally-valid lists, not geometrically-true ones.
     """
     rng = np.random.default_rng(seed)
-    assert n_images > knn_size + 1
+    if n_images <= knn_size + 1:
+        raise ValueError(
+            "make_synthetic_cx needs n_images > knn_size + 1 (got %d vs %d):"
+            " candidate lists are %d DISTINCT non-self images per row"
+            % (n_images, knn_size, knn_size))
 
     features = rng.normal(size=(n_images, dim_v)).astype(np.float32)
     names = [vqacx.coco_num_to_name(i, split) for i in range(n_images)]

@@ -365,6 +365,83 @@ def cache_kwargs(batch, q_table, v_table, z_table=None) -> dict:
     return kw
 
 
+def build_frozen_caches(model, params, features, arrays, *,
+                        use_q: bool = True, use_v: bool = False,
+                        use_z: bool = True, v_build_aid: bool = True,
+                        q_batch_size: int = 2048, z_batch_size: int = 2048,
+                        z_out_dtype=None):
+    """Build the frozen-backbone cache tables in dependency order.
+
+    One place for the recipe the single-dataset cache consumers (bench,
+    full-scale soak, E2E pipeline) must agree on (the counterexamples CLI
+    keeps its own two-dataset variant with per-cache fallbacks):
+
+    - build order q -> v -> z (z consumes both);
+    - ``v_build_aid``: build the per-image v-projection as an intermediate
+      for the z build even when it is NOT kept for the step (it turns the
+      z build's per-pair fusion v-side into a gather);
+    - **z subsumes v**: when the z cache is on, the step never reads
+      ``v_table`` — it was only the build aid and is dropped so its
+      ~1.2 GB (at COCO scale) is freed;
+    - ``z_out_dtype``: emitted chunk-by-chunk into a preallocated buffer of
+      this dtype (bf16 at full scale — the f32 table never exists).
+
+    Returns ``(q_table, v_table, z_table, stage_s)`` where ``stage_s`` maps
+    stage name -> hard-synced build seconds.  Cast the results bf16-resident
+    with :func:`make_tables_bf16_resident`.
+    """
+    from ..core.profiler import hard_sync
+
+    stage_s = {}
+    q_table = v_table = z_table = None
+    if use_q:
+        t = time.time()
+        q_table = precompute_q_emb(model, params, arrays.question_wids,
+                                   batch_size=q_batch_size)
+        hard_sync(q_table)
+        stage_s["q"] = time.time() - t
+    if use_v or (use_z and v_build_aid):
+        t = time.time()
+        v_table = precompute_v_proj(model, params, features)
+        hard_sync(v_table)
+        stage_s["v"] = time.time() - t
+    if use_z:
+        t = time.time()
+        z_table = precompute_z_emb(model, params, features,
+                                   arrays.image_idxs, q_table,
+                                   v_table=v_table,
+                                   batch_size=z_batch_size,
+                                   out_dtype=z_out_dtype)
+        hard_sync(z_table)
+        stage_s["z"] = time.time() - t
+        v_table = None  # z subsumes v in the step
+    return q_table, v_table, z_table, stage_s
+
+
+def make_tables_bf16_resident(features, q_table=None, v_table=None,
+                              z_table=None):
+    """Cast the feature matrix + cache tables bf16 for residency.
+
+    Under the bf16 GEMM policy the step casts its inputs to bf16 anyway, so
+    storing them bf16 halves the gather traffic and deletes the per-step
+    cast round-trips (measured 4.94 -> 3.82 ms/step at B=768).  The casts
+    may re-tile, so the per-example tables (q/z — gathered every step by
+    ``batch['example_idxs']``) are re-pinned canonical via
+    :func:`as_row_major`; a no-op for tables already bf16 + canonical
+    (e.g. a z table built with ``z_out_dtype=bfloat16``).
+
+    Returns ``(features, q_table, v_table, z_table)``.
+    """
+    features = features.astype(jnp.bfloat16)
+    if q_table is not None:
+        q_table = as_row_major(q_table.astype(jnp.bfloat16))
+    if v_table is not None:
+        v_table = v_table.astype(jnp.bfloat16)
+    if z_table is not None:
+        z_table = as_row_major(z_table.astype(jnp.bfloat16))
+    return features, q_table, v_table, z_table
+
+
 def make_cx_train_step(model, optimizer, *, recall_k: int = 5,
                        base_seed: int = 42,
                        extra_apply_args: tuple = (),
