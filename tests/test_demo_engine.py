@@ -251,3 +251,24 @@ def test_uint8_device_normalize_matches_host_preprocess():
     u8 = preprocess_image_uint8(img, size=64)
     dev = np.asarray(normalize_images_device(jnp.asarray(u8)))
     np.testing.assert_allclose(dev, ref, atol=1e-6)
+
+
+def test_prewarm_compiles_all_buckets():
+    """prewarm() warms every power-of-two bucket (concurrently), so no
+    later request pays a cold bucket compile (serve/demo_server.prewarm)."""
+    engine, _, _ = _tiny_serving_engine()
+    calls = []
+    real_predict = engine.predict_prepared
+
+    def counting_predict(images, wids):
+        calls.append(images.shape[0])
+        return real_predict(images, wids)
+
+    engine.predict_prepared = counting_predict
+    warmed = engine.prewarm(max_bucket=8)
+    assert warmed == [1, 2, 4, 8]
+    assert sorted(calls) == [1, 2, 4, 8]
+    # serial path covers the same buckets
+    calls.clear()
+    engine.prewarm(max_bucket=4, concurrent=False)
+    assert sorted(calls) == [1, 2, 4]

@@ -103,8 +103,16 @@ class DemoEngine:
                                 "pooling": False})
         model = factory.factory_vqa(options["model"], tuple(vocab_words),
                                     tuple(vocab_answers))
+        # cnn params MUST be an argument too, not a closure constant: closed-
+        # over weights are baked into every compiled executable as literals —
+        # measured ~490 MB per power-of-two bucket program (6 buckets!), which
+        # turns each bucket's first request into a ~500 MB remote compile
+        # through the tunnel.  As an argument the weights live once in HBM
+        # and every bucket executable is small.  Uncommitted transfer: a
+        # committed operand changes jit dispatch keys (see core/policy).
+        self.cnn_params = jax.device_put(cnn_params)
 
-        def predict(vqa_params, images, wids):
+        def predict(vqa_params, cnn_params, images, wids):
             """Batched: images (N,H,W,3) uint8, wids (N,T) i32 -> top-5 + att.
 
             Images arrive uint8 and normalize on device: 4x less H2D
@@ -225,7 +233,8 @@ class DemoEngine:
                 [wids, np.zeros((bucket - n, wids.shape[1]), wids.dtype)])
         with self._lock:
             params = self.vqa_params
-        vals, idxs, att = self._predict(params, jnp.asarray(images),
+        vals, idxs, att = self._predict(params, self.cnn_params,
+                                        jnp.asarray(images),
                                         jnp.asarray(wids))
         return (np.asarray(vals)[:n], np.asarray(idxs)[:n],
                 np.asarray(att)[:n])
@@ -269,6 +278,44 @@ class DemoEngine:
     def answer(self, image_b64: str, question: str) -> dict:
         return self.answer_batch(
             [{"visual": image_b64, "question": question}])[0]
+
+    def prewarm(self, max_bucket: int = MAX_BATCH,
+                concurrent: bool = True) -> list:
+        """Compile every power-of-two bucket program up front.
+
+        Without this, a request landing on a cold bucket pays that
+        bucket's compile inline (minutes through a remote-compile tunnel).
+        ``concurrent=True`` issues all bucket compiles from separate
+        threads: tracing serializes on the GIL (cheap) but the XLA/PJRT
+        compile releases it, so distinct bucket programs compile in
+        parallel and the wall cost is ~the slowest single compile, not the
+        sum.  The first dispatch also forces the one-time CNN/VQA weight
+        upload (shared by all buckets — weights are arguments, not
+        closure constants).  Returns the warmed bucket sizes.
+        """
+        import numpy as np
+
+        buckets, b = [], 1
+        while b <= min(max_bucket, MAX_BATCH):
+            buckets.append(b)
+            b *= 2
+
+        def warm(n):
+            images = np.zeros((n, self.size, self.size, 3), np.uint8)
+            wids = np.zeros((n, self.maxlength), np.int32)
+            self.predict_prepared(images, wids)
+
+        if concurrent:
+            threads = [threading.Thread(target=warm, args=(n,), daemon=True)
+                       for n in buckets]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+        else:
+            for n in buckets:
+                warm(n)
+        return buckets
 
 
 class MicroBatcher:
@@ -456,6 +503,11 @@ def main(argv=None):
                         help="micro-batching window for POST /: concurrent "
                              "single requests within this window coalesce "
                              "into one device call (0 disables)")
+    parser.add_argument("--prewarm", action="store_true",
+                        help="compile EVERY batch bucket before serving "
+                             "(concurrent compiles), so no request ever "
+                             "pays a cold bucket compile; without it only "
+                             "the single-request bucket is warmed")
     args = parser.parse_args(argv)
 
     from ..core import checkpoint as ckpt_lib
@@ -493,10 +545,15 @@ def main(argv=None):
     spatial = size // 32
     dummy_v = (jnp.zeros((1, spatial, spatial, 2048)) if attention
                else jnp.zeros((1, 2048)))
-    vqa_params = model.init(
-        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
-        dummy_v, jnp.zeros((1, options["vqa"]["maxlength"]), jnp.int32),
-        deterministic=True)["params"]
+    from ..core import policy
+
+    with policy.host_init_scope():  # eager CPU init — the jitted init is a
+        # once-executed program whose remote compile costs minutes here
+        vqa_params = model.init(
+            {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+            dummy_v, jnp.zeros((1, options["vqa"]["maxlength"]), jnp.int32),
+            deterministic=True)["params"]
+    vqa_params = jax.device_put(vqa_params)  # uncommitted (see core/policy)
     if args.dir_logs:
         _, loaded, _ = ckpt_lib.load_vqa_checkpoint(
             vqa_params, None, os.path.join(args.dir_logs, "best"))
@@ -509,15 +566,19 @@ def main(argv=None):
 
     # warm the jitted predict path now so the first user request is served at
     # steady-state latency (~0.2 s) instead of paying the compile
-    print("Warming up the predict path (first compile)...")
-    import numpy as np
-    from PIL import Image as PILImage
+    if args.prewarm:
+        print("Prewarming every batch bucket (concurrent compiles)...")
+        print("  warmed buckets:", engine.prewarm())
+    else:
+        print("Warming up the predict path (first compile)...")
+        import numpy as np
+        from PIL import Image as PILImage
 
-    dummy = PILImage.fromarray(
-        (np.zeros((size, size, 3))).astype("uint8"))
-    buf = io.BytesIO()
-    dummy.save(buf, format="JPEG")
-    engine.answer(base64.b64encode(buf.getvalue()).decode(), "warm up")
+        dummy = PILImage.fromarray(
+            (np.zeros((size, size, 3))).astype("uint8"))
+        buf = io.BytesIO()
+        dummy.save(buf, format="JPEG")
+        engine.answer(base64.b64encode(buf.getvalue()).decode(), "warm up")
 
     web_dir = (os.path.join(os.path.dirname(__file__), "demo_web")
                if args.serve_web else None)
