@@ -96,6 +96,7 @@ fields}.
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -150,6 +151,22 @@ def main():
     from vqa_counterexamples_tpu.data import synthetic, vqacx
     from vqa_counterexamples_tpu.engines import cx_engine
     from vqa_counterexamples_tpu.models import factory
+
+    # window-health stanza (VERDICT r3 #8): three cheap probes — cached
+    # dispatch rate, one novel-compile latency, 10 MB H2D bandwidth — so a
+    # reader can mechanically tell a healthy-window artifact from one taken
+    # during a tunnel/compile-service degradation (PARITY.md documents both
+    # pathologies).  Collected BEFORE the measurement so the novel compile
+    # can't pollute a window.
+    env_health = None
+    try:
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "scripts"))
+        from env_health import collect as collect_env_health
+
+        env_health = collect_env_health()
+    except Exception as exc:  # noqa: BLE001 — health probe is best-effort
+        print("env_health unavailable: %s" % exc, file=sys.stderr, flush=True)
 
     dataset, store = synthetic.make_synthetic_cx(
         n_examples=2048, n_images=1024, dim_v=2048, knn_size=24,
@@ -310,6 +327,44 @@ def main():
     n_chips = jax.device_count()
     value_per_chip = value / max(n_chips, 1)
 
+    # MEASURED HBM traffic (VERDICT r3 #3): trace a short window of the
+    # exact step just timed, sum the profiler's HBM-space byte attribution
+    # over the executed fusion/DMA event stream (parse_xplane.hbm_summary),
+    # and convert to achieved GB/s with the measured steps/sec.  Unlike
+    # ``bytes accessed`` (an HLO-level no-reuse UPPER bound), this counts
+    # compiled-fusion operands+outputs — the traffic the step actually
+    # drives — so it can PROVE HBM-boundedness rather than fail to rule it
+    # out.  Best-effort: needs protoc + a writable /tmp.
+    hbm_measured = None
+    try:
+        import shutil as _shutil
+        import tempfile
+
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "scripts"))
+        from parse_xplane import hbm_summary
+
+        trace_dir = tempfile.mkdtemp(prefix="bench_hbm_trace_")
+        try:
+            with jax.profiler.trace(trace_dir):
+                if scan_len:
+                    n_traced = 2 * scan_len
+                    for _ in range(2):
+                        state, m = train_scan(state, features, stacked,
+                                              n_valids, *extra)
+                else:
+                    n_traced = 8
+                    for i in range(n_traced):
+                        state, m = train_step(state, features,
+                                              batches[i % len(batches)],
+                                              nv, *extra)
+                hard_sync(state.params)
+            hbm_measured = hbm_summary(trace_dir, n_traced, top=5)
+        finally:
+            _shutil.rmtree(trace_dir, ignore_errors=True)
+    except Exception as exc:  # noqa: BLE001 — trace analysis is best-effort
+        print("hbm trace unavailable: %s" % exc, file=sys.stderr, flush=True)
+
     # roofline grounding: XLA's own flop + byte counts for the compiled
     # train step over the chip's bf16-FLOP and HBM-bandwidth peaks
     # (measured-vs-hardware, not vs the assumed reference throughput)
@@ -374,6 +429,21 @@ def main():
         "tflops_per_sec": tflops,
         "hbm_gbps_upper_bound": hbm_gbps,
         "hbm_frac_of_peak": hbm_frac,
+        # measured (trace-derived, fusion-granularity) HBM traffic — the
+        # rigorous counterpart to the upper bound above; see the comment at
+        # the trace block and scripts/parse_xplane.hbm_summary
+        "hbm_gbps_measured": (
+            round(hbm_measured["hbm_bytes_per_step"] * steps_per_sec / 1e9,
+                  1) if hbm_measured else None),
+        "hbm_measured_frac_of_peak": (
+            round(hbm_measured["hbm_bytes_per_step"] * steps_per_sec
+                  / PEAK_HBM_BPS[jax.devices()[0].device_kind], 3)
+            if hbm_measured
+            and jax.devices()[0].device_kind in PEAK_HBM_BPS else None),
+        "hbm_trace": ({k: hbm_measured[k]
+                       for k in ("tc_busy_ms_per_step", "dma_busy_ms_per_step",
+                                 "top_ops")} if hbm_measured else None),
+        "env_health": env_health,
         "batch_size": BATCH_SIZE,
         "scan_len": scan_len,
         "pallas": os.environ.get("VQACX_ENABLE_PALLAS") == "1",

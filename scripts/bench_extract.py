@@ -34,10 +34,10 @@ def main():
                          "decode scales with host cores (GIL-free)")
     ap.add_argument("--arch", type=str, default="fbresnet152")
     ap.add_argument("--windows", type=int, default=3,
-                    help="independent measured windows for the device-only "
-                         "mode; the reported value is the median (the "
-                         "tunneled chip has degraded windows — same defense "
-                         "as bench.py)")
+                    help="independent measured windows (device-only AND "
+                         "end-to-end modes); the reported value is the "
+                         "median (the tunneled chip has degraded windows — "
+                         "same defense as bench.py)")
     args = ap.parse_args()
 
     import jax
@@ -115,25 +115,37 @@ def main():
             return out
 
         try:
+            rates = []
             with ThreadPoolExecutor(max_workers=1) as pool:
                 out = forward_u8(params, decode(0))  # compile
                 hard_sync(out)
-                future = pool.submit(decode, 0)
-                t0 = time.time()
-                for step in range(args.steps):
-                    batch_u8 = future.result()
-                    future = pool.submit(decode, (step + 1) * args.batch)
-                    out = forward_u8(params, batch_u8)
-                hard_sync(out)
-                dt = time.time() - t0
+                # multi-window median, same defense as the device-only mode
+                # (a single window is exposed to tunnel-contention noise)
+                for _ in range(max(args.windows, 1)):
+                    future = pool.submit(decode, 0)
+                    t0 = time.time()
+                    for step in range(args.steps):
+                        batch_u8 = future.result()
+                        future = pool.submit(
+                            decode, ((step + 1) % args.steps) * args.batch)
+                        out = forward_u8(params, batch_u8)
+                    hard_sync(out)
+                    rates.append(args.batch * args.steps
+                                 / (time.time() - t0))
+                    future.result()
         finally:
             import shutil
 
             shutil.rmtree(tmpdir, ignore_errors=True)
         print(json.dumps({
             "metric": "resnet_extract_end_to_end_images_per_sec",
-            "value": round(args.batch * args.steps / dt, 1),
+            "value": round(float(np.median(rates)), 1),
             "unit": "images/sec (decode+device)",
+            "windows": [round(r, 1) for r in rates],
+            "spread": {"min": round(min(rates), 1),
+                       "max": round(max(rates), 1),
+                       "rel": round((max(rates) - min(rates))
+                                    / float(np.median(rates)), 4)},
             "batch_size": args.batch,
             "image_size": args.size,
             "arch": args.arch,
@@ -158,7 +170,8 @@ def main():
             out = forward(params, batch)
         hard_sync(out)
         rates.append(args.batch * args.steps / (time.time() - t0))
-    ips = sorted(rates)[len(rates) // 2]
+    ips = float(np.median(rates))  # true median (averages the middle pair
+    # for even window counts), consistent with bench.py
 
     # FLOPs from the compiled executable's own cost analysis, so the MFU
     # denominator tracks the real program (ResNet-152 at 448x448 is ~4x the
@@ -169,9 +182,13 @@ def main():
         gflop_per_img = cost.get("flops", 0.0) / args.batch / 1e9
     except Exception:
         gflop_per_img = 0.0
-    peak_tflops = 197e12  # v5e bf16
-    mfu = (ips * gflop_per_img * 1e9 / peak_tflops
-           ) if gflop_per_img else None
+    # per-device bf16 peak FLOP/s (same table as bench.py); unknown device
+    # kinds report mfu=null rather than a silently wrong number
+    peak_flops = {"TPU v5 lite": 197e12, "TPU v5e": 197e12,
+                  "TPU v4": 275e12, "TPU v6 lite": 918e12,
+                  }.get(jax.devices()[0].device_kind)
+    mfu = (ips * gflop_per_img * 1e9 / peak_flops
+           ) if (gflop_per_img and peak_flops) else None
 
     print(json.dumps({
         "metric": "resnet152_extract_images_per_sec",

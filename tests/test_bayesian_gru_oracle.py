@@ -18,13 +18,15 @@ here against a torch oracle built in-test from that formula (VERDICT r2 #6):
 * the porter's mapping of genuine per-gate skip-thoughts.torch checkpoint
   keys (rnn.gru_cell.weight_ir.weight, ...) into our packed GRUParams.
 
-Known, documented approximation: skip-thoughts.torch draws SIX independent
-masks (one per gate-side Linear via separate SequentialDropouts) while our
-``gru_scan`` shares one mask across the three input gates and one across
-the three recurrent gates — identical marginal drop rate and scaling,
-different cross-gate noise correlation.  The oracle therefore fixes its six
-masks to the shared pair, which makes the formulas coincide exactly; any
-drift in placement, scaling, gate order, or time-sharing still fails.
+skip-thoughts.torch draws SIX independent masks (one per gate-side Linear
+via separate SequentialDropouts).  ``gru_scan(per_gate_masks=True)`` — the
+default for BayesianUniSkip since round 4 (VERDICT r3 #4) — reproduces that
+exactly and is pinned below against the oracle with six DISTINCT fixed
+masks.  The legacy shared-pair approximation (one mask across the three
+input gates, one across the three recurrent gates; identical marginal rate,
+correlated cross-gate noise) remains available via
+``VQACX_GRU_SHARED_MASKS=1`` / ``per_gate_masks=False`` and keeps its own
+oracle test with the six masks fixed to the shared pair.
 """
 
 import numpy as np
@@ -70,6 +72,75 @@ def _oracle_states(p, x, mask_x, mask_h, dim_h):
         h = (1.0 - i) * n + i * h    # leak reads RAW h, not h_d
         states.append(h)
     return torch.stack(states, dim=1).numpy()
+
+
+def _oracle_states_per_gate(p, x, mask_x3, mask_h3, dim_h):
+    """Torch loop implementing the skip-thoughts.torch BayesianGRUCell
+    formula with six DISTINCT per-gate masks: mask_x3[g] on the input to
+    gate g's input Linear, mask_h3[g] on the state into gate g's recurrent
+    Linear (gate order r, i<-z, n); the carry leak reads RAW h."""
+    w_ih = torch.from_numpy(np.asarray(p.w_ih))
+    b_ih = torch.from_numpy(np.asarray(p.b_ih))
+    w_hh = torch.from_numpy(np.asarray(p.w_hh))
+    b_hh = torch.from_numpy(np.asarray(p.b_hh))
+    (w_ir, w_ii, w_in) = torch.split(w_ih, dim_h, dim=1)
+    (b_ir, b_ii, b_in) = torch.split(b_ih, dim_h)
+    (w_hr, w_hi, w_hn) = torch.split(w_hh, dim_h, dim=1)
+    (b_hr, b_hi, b_hn) = torch.split(b_hh, dim_h)
+    xt = torch.from_numpy(x)
+    mxr, mxi, mxn = (torch.from_numpy(mask_x3[g]) for g in range(3))
+    mhr, mhi, mhn = (torch.from_numpy(mask_h3[g]) for g in range(3))
+    batch, seq_len, _ = x.shape
+    h = torch.zeros(batch, dim_h)
+    states = []
+    for t in range(seq_len):
+        x_t = xt[:, t]
+        r = torch.sigmoid((x_t * mxr) @ w_ir + b_ir
+                          + (h * mhr) @ w_hr + b_hr)
+        i = torch.sigmoid((x_t * mxi) @ w_ii + b_ii
+                          + (h * mhi) @ w_hi + b_hi)
+        n = torch.tanh((x_t * mxn) @ w_in + b_in
+                       + r * ((h * mhn) @ w_hn + b_hn))
+        h = (1.0 - i) * n + i * h    # leak reads RAW h
+        states.append(h)
+    return torch.stack(states, dim=1).numpy()
+
+
+def test_bayesian_gru_per_gate_masks_match_torch_oracle():
+    """The per-gate default reproduces the six-distinct-mask formula."""
+    import jax
+    import jax.numpy as jnp
+
+    from vqa_counterexamples_tpu.core import rng as rng_lib
+    from vqa_counterexamples_tpu.ops import rnn as rnn_ops
+
+    B, T, D, H, P = 5, 11, 13, 9, 0.25
+    rng = np.random.default_rng(10)
+    params = _gru_params(rng, D, H)
+    x = rng.normal(size=(B, T, D)).astype(np.float32)
+
+    key = jax.random.key(17)
+    with torch.no_grad():
+        ours = np.asarray(rnn_ops.gru_scan(
+            jax.tree.map(jnp.asarray, params), jnp.asarray(x), dropout=P,
+            deterministic=False, rng=key, per_gate_masks=True))
+
+    # reproduce gru_scan's mask derivation: split -> keep_mask over a
+    # leading gate axis of 3 on each side
+    kx, kh = jax.random.split(key)
+    keep_x, scale_x = rng_lib.keep_mask(kx, 1.0 - P, (3, B, D))
+    keep_h, scale_h = rng_lib.keep_mask(kh, 1.0 - P, (3, B, H))
+    mask_x3 = np.asarray(keep_x, np.float32) * np.float32(scale_x)
+    mask_h3 = np.asarray(keep_h, np.float32) * np.float32(scale_h)
+    # the six masks are live and genuinely distinct across gates
+    assert (mask_x3 == 0).any() and (mask_h3 == 0).any()
+    assert not np.array_equal(mask_x3[0], mask_x3[1])
+    assert not np.array_equal(mask_x3[1], mask_x3[2])
+    assert not np.array_equal(mask_h3[0], mask_h3[1])
+    assert not np.array_equal(mask_h3[1], mask_h3[2])
+
+    oracle = _oracle_states_per_gate(params, x, mask_x3, mask_h3, H)
+    np.testing.assert_allclose(ours, oracle, rtol=2e-4, atol=2e-5)
 
 
 def test_bayesian_gru_train_mode_matches_torch_oracle_under_fixed_masks():

@@ -178,6 +178,74 @@ def test_gru_scan_dispatch_parity():
         os.environ.pop("VQACX_GRU_PALLAS", None)
 
 
+def test_gru_scan_per_gate_dispatch_parity():
+    """per_gate_masks=True (six independent masks — the BayesianUniSkip
+    default, VERDICT r3 #4) agrees between the per-gate kernel variant and
+    the per-gate lax.scan path, forward AND grads, under the same rng."""
+    params, x = _mk(batch=6, seq=5, dim_in=10, dim_h=24, seed=5)
+    key = jax.random.key(11)
+    os.environ["VQACX_COMPUTE_DTYPE"] = "bfloat16"
+
+    def loss(p, mode):
+        os.environ["VQACX_GRU_PALLAS"] = mode
+        states = rnn.gru_scan(p, x, dropout=0.4, deterministic=False,
+                              rng=key, per_gate_masks=True)
+        return jnp.sum(jnp.tanh(states.astype(jnp.float32))), states
+
+    try:
+        (l_got, got), g_got = jax.value_and_grad(
+            lambda p: loss(p, "interpret"), has_aux=True)(params)
+        (l_ref, ref), g_ref = jax.value_and_grad(
+            lambda p: loss(p, "0"), has_aux=True)(params)
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(ref, np.float32),
+                                   atol=8e-2, rtol=8e-2)
+        for name in ("w_ih", "b_ih", "w_hh", "b_hh"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(g_got, name), np.float32),
+                np.asarray(getattr(g_ref, name), np.float32),
+                atol=8e-2, rtol=8e-2, err_msg=name)
+        # per-gate masks genuinely differ from the shared-mask result
+        os.environ["VQACX_GRU_PALLAS"] = "0"
+        shared = rnn.gru_scan(params, x, dropout=0.4, deterministic=False,
+                              rng=key, per_gate_masks=False)
+        assert not np.allclose(np.asarray(ref, np.float32),
+                               np.asarray(shared, np.float32), atol=1e-3)
+    finally:
+        os.environ.pop("VQACX_COMPUTE_DTYPE", None)
+        os.environ.pop("VQACX_GRU_PALLAS", None)
+
+
+def test_gru_bwd_scan_per_gate_matches_pallas_bwd():
+    """VQACX_GRU_BWD=scan (the measured fallback) also implements the
+    per-gate backward: cotangents match the fused kernel backward."""
+    params, x = _mk(batch=3, seq=4, dim_in=8, dim_h=16, seed=6)
+    key = jax.random.key(13)
+    os.environ["VQACX_COMPUTE_DTYPE"] = "bfloat16"
+    os.environ["VQACX_GRU_PALLAS"] = "interpret"
+
+    def loss(p, bwd):
+        os.environ["VQACX_GRU_BWD"] = bwd
+        try:
+            states = rnn.gru_scan(p, x, dropout=0.4, deterministic=False,
+                                  rng=key, per_gate_masks=True)
+            return jnp.sum(jnp.cos(states.astype(jnp.float32)))
+        finally:
+            os.environ.pop("VQACX_GRU_BWD", None)
+
+    try:
+        g_pallas = jax.grad(lambda p: loss(p, "pallas"))(params)
+        g_scan = jax.grad(lambda p: loss(p, "scan"))(params)
+        for name in ("w_ih", "b_ih", "w_hh", "b_hh"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(g_pallas, name), np.float32),
+                np.asarray(getattr(g_scan, name), np.float32),
+                atol=3e-2, rtol=3e-2, err_msg=name)
+    finally:
+        os.environ.pop("VQACX_COMPUTE_DTYPE", None)
+        os.environ.pop("VQACX_GRU_PALLAS", None)
+
+
 def test_chunked_batch_matches_unchunked(monkeypatch):
     """Batches beyond the kernel's VMEM plan (MAX_BATCH) run as equal
     chunks — same states and grads as one kernel call."""

@@ -107,9 +107,17 @@ class SkipThoughts(nn.Module):
         if self.bayesian:
             rng = (None if deterministic
                    else self.make_rng("dropout"))
+            # six independent per-gate masks by default, matching
+            # skip-thoughts.torch's BayesianGRU (one SequentialDropout per
+            # gate-side Linear; VERDICT r3 #4).  VQACX_GRU_SHARED_MASKS=1
+            # restores the previous shared-pair approximation (A/B lever).
+            import os
+
+            per_gate = os.environ.get("VQACX_GRU_SHARED_MASKS", "0") != "1"
             states = rnn_ops.gru_scan(gru, emb, dropout=self.dropout,
                                       deterministic=deterministic, rng=rng,
-                                      time_major_out=True)
+                                      time_major_out=True,
+                                      per_gate_masks=per_gate)
         else:
             emb = nn.Dropout(self.dropout)(emb, deterministic=deterministic)
             states = rnn_ops.gru_scan(gru, emb, time_major_out=True)

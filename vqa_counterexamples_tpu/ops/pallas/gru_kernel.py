@@ -105,6 +105,10 @@ def _fwd_kernel(xp_ref, w_ref, b_ref, mask_ref, states_ref, hproj_ref,
     t = pl.program_id(0)
     j = pl.program_id(1)
     tile = states_ref.shape[-1]
+    # static variant switch: a 3-axis mask block = one independent
+    # variational mask per gate (skip-thoughts.torch BayesianGRU semantics,
+    # VERDICT r3 #4); hin_scr is then (3, B, Hp)
+    per_gate = mask_ref.ndim == 3
 
     @pl.when(jnp.logical_and(t == 0, j == 0))
     def _():
@@ -114,11 +118,24 @@ def _fwd_kernel(xp_ref, w_ref, b_ref, mask_ref, states_ref, hproj_ref,
     # per-column h updates below then safely write h_scr in place
     @pl.when(j == 0)
     def _():
-        hin_scr[:] = h_scr[:] * mask_ref[:]
+        if per_gate:
+            hin_scr[0] = h_scr[:] * mask_ref[0]
+            hin_scr[1] = h_scr[:] * mask_ref[1]
+            hin_scr[2] = h_scr[:] * mask_ref[2]
+        else:
+            hin_scr[:] = h_scr[:] * mask_ref[:]
 
-    # one MXU matmul covers all three gates' columns for this tile
-    hp_all = jnp.dot(hin_scr[:], w_ref[:],
-                     preferred_element_type=jnp.float32) + b_ref[0]
+    if per_gate:
+        # three per-gate MXU matmuls over this tile's column blocks; same
+        # streamed weight bytes, (B, Hp) x (Hp, tile) each
+        hp_all = jnp.concatenate(
+            [jnp.dot(hin_scr[g], w_ref[:, g * tile:(g + 1) * tile],
+                     preferred_element_type=jnp.float32)
+             for g in range(3)], axis=1) + b_ref[0]
+    else:
+        # one MXU matmul covers all three gates' columns for this tile
+        hp_all = jnp.dot(hin_scr[:], w_ref[:],
+                         preferred_element_type=jnp.float32) + b_ref[0]
     xp = xp_ref[0]  # (B, 3*tile) interleaved [r | z | n]
     r = jax.nn.sigmoid(xp[:, :tile] + hp_all[:, :tile])
     z = jax.nn.sigmoid(xp[:, tile:2 * tile] + hp_all[:, tile:2 * tile])
@@ -142,7 +159,8 @@ def gru_fwd_pallas(xp: jax.Array, w: jax.Array, b: jax.Array,
       w: (Hp, 3*Hp) recurrent weights, interleaved columns, pad rows/cols
         zero.
       b: (1, 3*Hp) f32 bias, interleaved, pad columns zero.
-      mask: (B, Hp) variational dropout mask (ones when inactive).
+      mask: (B, Hp) variational dropout mask (ones when inactive), or
+        (3, B, Hp) for one independent mask per gate (r, z, n).
     Returns:
       states (T, B, Hp) bf16, h_projs (T, B, 3*Hp) bf16 (interleaved).
     """
@@ -151,6 +169,8 @@ def gru_fwd_pallas(xp: jax.Array, w: jax.Array, b: jax.Array,
     assert hp % LANE == 0, "pad the hidden dim to a lane multiple"
     tile = LANE
     grid = (seq_len, hp // tile)
+    per_gate = mask.ndim == 3
+    mask_block = ((3, batch, hp) if per_gate else (batch, hp))
 
     states, hprojs = pl.pallas_call(
         _fwd_kernel,
@@ -162,7 +182,8 @@ def gru_fwd_pallas(xp: jax.Array, w: jax.Array, b: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3 * tile), lambda t, j: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((batch, hp), lambda t, j: (0, 0),
+            pl.BlockSpec(mask_block, (lambda t, j: (0, 0, 0)) if per_gate
+                         else (lambda t, j: (0, 0)),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -177,7 +198,9 @@ def gru_fwd_pallas(xp: jax.Array, w: jax.Array, b: jax.Array,
         ),
         scratch_shapes=[
             pltpu.VMEM((batch, hp), jnp.bfloat16),   # h
-            pltpu.VMEM((batch, hp), jnp.bfloat16),   # h * mask snapshot
+            # h * mask snapshot (one per gate in the per-gate variant)
+            pltpu.VMEM(((3, batch, hp) if per_gate else (batch, hp)),
+                       jnp.bfloat16),
         ],
         interpret=interpret,
         # the plan needs ~18.5 MB at B=512 (three (B, Hp) bf16 state
@@ -210,6 +233,9 @@ def _bwd_kernel(ds_ref, xp_ref, hproj_ref, hprev_full_ref, w_ref, mask_ref,
     j = pl.program_id(1)
     nj = pl.num_programs(1)
     tile = ds_ref.shape[-1]
+    # static variant switch, mirroring _fwd_kernel: per-gate recurrent
+    # masks carry per-gate back/dmask accumulators (3, B, Hp)
+    per_gate = mask_ref.ndim == 3
 
     @pl.when(jnp.logical_and(t == 0, j == 0))
     def _():
@@ -242,18 +268,35 @@ def _bwd_kernel(ds_ref, xp_ref, hproj_ref, hprev_full_ref, w_ref, mask_ref,
 
     # back += dh_proj @ w_block^T as a transposed-RHS MXU contraction —
     # no (3Hp, Hp) transposed weight copy in HBM
-    back_scr[:] += jax.lax.dot_general(
-        dh_proj, w_ref[:], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    if per_gate:
+        parts = (dsr, dsz, dhn)
+        for gi in range(3):
+            back_scr[gi] += jax.lax.dot_general(
+                parts[gi].astype(jnp.bfloat16),
+                w_ref[:, gi * tile:(gi + 1) * tile],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+    else:
+        back_scr[:] += jax.lax.dot_general(
+            dh_proj, w_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
     dh_scr[:, pl.ds(j * tile, tile)] = g * z
 
     @pl.when(j == nj - 1)
     def _():
-        back = back_scr[:]
-        mask = mask_ref[:].astype(jnp.float32)
         hprev_full = hprev_full_ref[0].astype(jnp.float32)
-        dh_scr[:] = dh_scr[:] + back * mask
-        dmask_scr[:] = dmask_scr[:] + back * hprev_full
+        if per_gate:
+            dh_new = dh_scr[:]
+            for gi in range(3):
+                dh_new = dh_new + back_scr[gi] * mask_ref[gi].astype(
+                    jnp.float32)
+                dmask_scr[gi] += back_scr[gi] * hprev_full
+            dh_scr[:] = dh_new
+        else:
+            back = back_scr[:]
+            mask = mask_ref[:].astype(jnp.float32)
+            dh_scr[:] = dh_scr[:] + back * mask
+            dmask_scr[:] = dmask_scr[:] + back * hprev_full
 
     @pl.when(jnp.logical_and(t == pl.num_programs(0) - 1, j == nj - 1))
     def _():
@@ -275,10 +318,14 @@ def gru_bwd_pallas(w: jax.Array, xp: jax.Array, mask: jax.Array,
     hp = chp // 3
     tile = LANE
     grid = (seq_len, hp // tile)
+    per_gate = mask.ndim == 3
+    acc_shape = (3, batch, hp) if per_gate else (batch, hp)
     h_prev = jnp.concatenate(
         [jnp.zeros((1, batch, hp), states.dtype), states[:-1]], axis=0)
 
     rev_t3 = lambda t, j: (seq_len - 1 - t, 0, j)
+    acc_map = ((lambda t, j: (0, 0, 0)) if per_gate
+               else (lambda t, j: (0, 0)))
     dxp, dhprojs, dmask = pl.pallas_call(
         _bwd_kernel,
         grid=grid,
@@ -292,26 +339,24 @@ def gru_bwd_pallas(w: jax.Array, xp: jax.Array, mask: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((hp, 3 * tile), lambda t, j: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((batch, hp), lambda t, j: (0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(acc_shape, acc_map, memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((1, batch, 3 * tile), rev_t3,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, batch, 3 * tile), rev_t3,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((batch, hp), lambda t, j: (0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(acc_shape, acc_map, memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((seq_len, batch, 3 * hp), jnp.bfloat16),
             jax.ShapeDtypeStruct((seq_len, batch, 3 * hp), jnp.bfloat16),
-            jax.ShapeDtypeStruct((batch, hp), jnp.float32),
+            jax.ShapeDtypeStruct(acc_shape, jnp.float32),
         ),
         scratch_shapes=[
             pltpu.VMEM((batch, hp), jnp.float32),   # dh carry
-            pltpu.VMEM((batch, hp), jnp.float32),   # back accumulator
-            pltpu.VMEM((batch, hp), jnp.float32),   # dmask accumulator
+            pltpu.VMEM(acc_shape, jnp.float32),     # back accumulator(s)
+            pltpu.VMEM(acc_shape, jnp.float32),     # dmask accumulator(s)
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
@@ -324,12 +369,27 @@ def gru_bwd_pallas(w: jax.Array, xp: jax.Array, mask: jax.Array,
             transcendentals=3 * seq_len * batch * hp),
     )(dstates, xp, hprojs, h_prev, w, mask)
 
-    # weight/bias cotangents: one (Hp, T·B) x (T·B, 3Hp) GEMM + a reduction
-    h_in = (h_prev.astype(jnp.float32)
-            * mask[None].astype(jnp.float32)).reshape(seq_len * batch, hp)
-    dw = jnp.dot(h_in.astype(w.dtype).T,
-                 dhprojs.reshape(seq_len * batch, 3 * hp),
-                 preferred_element_type=jnp.float32)
+    if per_gate:
+        # per-gate weight cotangents: dw_g = (h_prev * mask_g)^T @ dhproj_g,
+        # reassembled into the interleaved (Hp, 3Hp) layout
+        dh4 = deinterleave_gates(
+            dhprojs.reshape(seq_len * batch, 3 * hp))  # (T*B, 3, Hp)
+        hp_f = h_prev.astype(jnp.float32)
+        dws = []
+        for g in range(3):
+            h_in_g = (hp_f * mask[g][None].astype(jnp.float32)
+                      ).reshape(seq_len * batch, hp)
+            dws.append(jnp.dot(h_in_g.astype(w.dtype).T, dh4[:, g],
+                               preferred_element_type=jnp.float32))
+        dw = interleave_gates(jnp.stack(dws, axis=-2))  # (Hp, 3Hp)
+    else:
+        # weight/bias cotangents: one (Hp, T·B) x (T·B, 3Hp) GEMM
+        h_in = (h_prev.astype(jnp.float32)
+                * mask[None].astype(jnp.float32)
+                ).reshape(seq_len * batch, hp)
+        dw = jnp.dot(h_in.astype(w.dtype).T,
+                     dhprojs.reshape(seq_len * batch, 3 * hp),
+                     preferred_element_type=jnp.float32)
     db = jnp.sum(dhprojs.astype(jnp.float32), axis=(0, 1))[None]
     return dw, db, dxp, dmask
 
@@ -346,9 +406,11 @@ def _bwd_scan(w, xp, mask, states, hprojs, dstates, unroll: int = 1):
     seq_len, batch, chp = xp.shape
     hp = chp // 3
     j, c = hp // LANE, LANE
+    per_gate = mask.ndim == 3
     h_prev = jnp.concatenate(
         [jnp.zeros((1, batch, hp), states.dtype), states[:-1]], axis=0)
     w_t = jnp.swapaxes(w, 0, 1)  # (3Hp, Hp) bf16, interleaved rows
+    w3 = deinterleave_gates(w)   # (Hp, 3, Hp) for the per-gate variant
 
     def gates4(x):  # (B, 3Hp) interleaved -> (B, J, 3, C)
         return x.reshape(batch, j, 3, c)
@@ -371,26 +433,52 @@ def _bwd_scan(w, xp, mask, states, hprojs, dstates, unroll: int = 1):
         dsr = dsn * hn * r * (1.0 - r)
         dh_proj = jnp.stack([dsr, dsz, dhn], axis=2).reshape(batch, 3 * hp)
         dx_proj = jnp.stack([dsr, dsz, dsn], axis=2).reshape(batch, 3 * hp)
-        back = jnp.dot(dh_proj.astype(w_t.dtype), w_t,
-                       preferred_element_type=jnp.float32)
         g_flat = g.reshape(batch, hp)
         z_flat = z.reshape(batch, hp)
         hprev_flat = hprev4.reshape(batch, hp)
-        dh_new = g_flat * z_flat + back * mask
-        dmask = dmask + back * hprev_flat
+        if per_gate:
+            dh_new = g_flat * z_flat
+            dmask_parts = []
+            for gi, part in enumerate((dsr, dsz, dhn)):
+                back_g = jax.lax.dot_general(
+                    part.reshape(batch, hp).astype(w3.dtype), w3[:, gi],
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                dh_new = dh_new + back_g * mask[gi]
+                dmask_parts.append(back_g * hprev_flat)
+            dmask = dmask + jnp.stack(dmask_parts)
+        else:
+            back = jnp.dot(dh_proj.astype(w_t.dtype), w_t,
+                           preferred_element_type=jnp.float32)
+            dh_new = g_flat * z_flat + back * mask
+            dmask = dmask + back * hprev_flat
         return (dh_new, dmask), (dx_proj, dh_proj)
 
     (dh0, dmask), (dx_proj, dh_projs) = jax.lax.scan(
         step,
         (jnp.zeros((batch, hp), jnp.float32),
-         jnp.zeros((batch, hp), jnp.float32)),
+         jnp.zeros(((3, batch, hp) if per_gate else (batch, hp)),
+                   jnp.float32)),
         (dstates, xp, hprojs, h_prev), reverse=True, unroll=unroll)
 
-    h_in = (h_prev.astype(jnp.float32)
-            * mask[None]).reshape(seq_len * batch, hp)
-    dw = jnp.dot(h_in.astype(w.dtype).T,
-                 dh_projs.reshape(seq_len * batch, 3 * hp).astype(w.dtype),
-                 preferred_element_type=jnp.float32)
+    if per_gate:
+        dh4 = deinterleave_gates(
+            dh_projs.reshape(seq_len * batch, 3 * hp))  # (T*B, 3, Hp)
+        hp_f = h_prev.astype(jnp.float32)
+        dws = []
+        for g in range(3):
+            h_in_g = (hp_f * mask[g][None]).reshape(seq_len * batch, hp)
+            dws.append(jnp.dot(h_in_g.astype(w.dtype).T,
+                               dh4[:, g].astype(w.dtype),
+                               preferred_element_type=jnp.float32))
+        dw = interleave_gates(jnp.stack(dws, axis=-2))
+    else:
+        h_in = (h_prev.astype(jnp.float32)
+                * mask[None]).reshape(seq_len * batch, hp)
+        dw = jnp.dot(h_in.astype(w.dtype).T,
+                     dh_projs.reshape(seq_len * batch,
+                                      3 * hp).astype(w.dtype),
+                     preferred_element_type=jnp.float32)
     db = jnp.sum(dh_projs, axis=(0, 1))[None]
     return dw, db, dx_proj.astype(xp.dtype), dmask
 
@@ -403,8 +491,9 @@ def gru_recurrence_pallas(w: jax.Array, b: jax.Array, xp: jax.Array,
 
     Returns the (T, B, Hp) bf16 state stack.  ``w`` (Hp, 3Hp) and ``xp``
     (T, B, 3Hp) are gate-interleaved (see :func:`interleave_gates`) in the
-    compute dtype; ``b`` is (1, 3Hp) f32; ``mask`` (B, Hp) is the shared
-    variational dropout mask.
+    compute dtype; ``b`` is (1, 3Hp) f32; ``mask`` is the variational
+    dropout mask — (B, Hp) shared across gates, or (3, B, Hp) with one
+    independent mask per gate (skip-thoughts.torch BayesianGRU semantics).
     """
     states, _ = gru_fwd_pallas(xp, w, b, mask, interpret=interpret)
     return states

@@ -140,42 +140,126 @@ def _pallas_gru_eligible(batch: int, h0, mode: str) -> bool:
     return mode == "1" or len(jax.devices()) == 1
 
 
-def _gru_pallas_path(params: "GRUParams", xt: jax.Array,
-                     mask_h: jax.Array | None, interpret: bool) -> jax.Array:
+def _pad_gates(w: jax.Array, dim_h: int, pad_h: int) -> jax.Array:
+    """(..., 3H) -> (..., 3Hp) gate-interleaved with zero pad columns."""
+    from .pallas.gru_kernel import interleave_gates
+
+    w3 = jnp.pad(w.reshape(w.shape[:-1] + (3, dim_h)),
+                 [(0, 0)] * (w.ndim - 1) + [(0, 0), (0, pad_h)])
+    return interleave_gates(w3)
+
+
+def _per_gate_x_proj(params: "GRUParams", x: jax.Array,
+                     mask_x3: jax.Array) -> jax.Array:
+    """Per-gate masked input projections -> kernel layout (T, B, 3Hp) bf16.
+
+    Three (T*B, D) x (D, Hp) GEMMs — one per gate, each with its own
+    variational input mask — stacked and gate-interleaved.  Same total
+    FLOPs as the fused (T*B, D) x (D, 3Hp) GEMM of the shared-mask path;
+    the interleave is one extra relayout pass of the projection stack.
+    """
+    from ..core.policy import cast_in
+    from .pallas.gru_kernel import LANE, interleave_gates
+
+    batch, seq_len, dim_in = x.shape
+    dim_h = params.w_hh.shape[0]
+    hp = ((dim_h + LANE - 1) // LANE) * LANE
+    pad_h = hp - dim_h
+    xt = jnp.swapaxes(x, 0, 1).reshape(seq_len * batch, dim_in)
+    w3 = params.w_ih.reshape(dim_in, 3, dim_h)
+    b3 = params.b_ih.reshape(3, dim_h)
+    mx = jnp.swapaxes(mask_x3, 0, 1)  # (B, 3, D) -> broadcast per gate
+    projs = []
+    for g in range(3):
+        xg = xt * jnp.tile(mx[:, g], (seq_len, 1))
+        xc, wg = cast_in(xg, w3[:, g])
+        pg = jnp.dot(xc, wg, preferred_element_type=jnp.float32) + b3[g]
+        projs.append(jnp.pad(pg, ((0, 0), (0, pad_h))).astype(jnp.bfloat16))
+    xp = interleave_gates(jnp.stack(projs, axis=-2))  # (T*B, 3Hp)
+    return xp.reshape(seq_len, batch, 3 * hp)
+
+
+def _gru_scan_per_gate(params: "GRUParams", x: jax.Array, mask_x3: jax.Array,
+                       mask_h3: jax.Array, h0: jax.Array, unroll: int,
+                       time_major_out: bool) -> jax.Array:
+    """lax.scan GRU with six independent per-gate variational masks.
+
+    Input side: three per-gate-masked (T*B, D) x (D, H) GEMMs (same FLOPs
+    as the fused 3H GEMM).  Recurrent side: three (B, H) x (H, H) GEMMs per
+    step, each on its own masked state.  The carry leak ``z * h`` reads the
+    RAW state, exactly like the shared-mask path and the torch oracle.
+    """
+    from ..core.policy import cast_in, compute_dtype
+
+    batch, seq_len, dim_in = x.shape
+    dim_h = params.w_hh.shape[0]
+    cdt = compute_dtype()
+    xt = jnp.swapaxes(x, 0, 1).reshape(seq_len * batch, dim_in)
+    w_ih3 = params.w_ih.reshape(dim_in, 3, dim_h)
+    b_ih3 = params.b_ih.reshape(3, dim_h)
+    projs = []
+    for g in range(3):
+        xg = xt * jnp.tile(mask_x3[g], (seq_len, 1))
+        xc, wg = cast_in(xg, w_ih3[:, g])
+        pg = jnp.dot(xc, wg, preferred_element_type=jnp.float32) + b_ih3[g]
+        projs.append(pg.reshape(seq_len, batch, dim_h).astype(cdt))
+    w_hh3 = params.w_hh.reshape(dim_h, 3, dim_h).astype(cdt)
+    b_hh3 = params.b_hh.reshape(3, dim_h)
+    m_r, m_z, m_n = mask_h3[0], mask_h3[1], mask_h3[2]
+
+    def rec(h, g):
+        return jnp.dot(h.astype(cdt), w_hh3[:, g],
+                       preferred_element_type=jnp.float32) + b_hh3[g]
+
+    def step(h, xp3):
+        xr, xz, xn = xp3
+        r = jax.nn.sigmoid(xr + rec(h * m_r, 0))
+        z = jax.nn.sigmoid(xz + rec(h * m_z, 1))
+        n = jnp.tanh(xn + r * rec(h * m_n, 2))
+        h_new = (1.0 - z) * n + z * h
+        return h_new, h_new
+
+    _, states = jax.lax.scan(step, h0, tuple(projs), unroll=unroll)
+    return states if time_major_out else jnp.swapaxes(states, 0, 1)
+
+
+def _gru_pallas_path(params: "GRUParams", xt: jax.Array | None,
+                     mask_h: jax.Array | None, interpret: bool,
+                     x_proj: jax.Array | None = None) -> jax.Array:
     """Padded input GEMM + fused recurrence; returns (T, B, H) bf16 states.
 
     ``xt`` is time-major (T, B, D), already input-masked.  Padding to the
     lane multiple happens on the *weights* so the input projection lands
     directly in the kernel's (T, B, 3, Hp) layout with zero pad columns —
-    no post-GEMM pad copy of the 191 MB projection stack.
+    no post-GEMM pad copy of the 191 MB projection stack.  Callers with
+    per-gate input masks pass a precomputed ``x_proj`` (T, B, 3Hp)
+    instead (``_per_gate_x_proj``); a 3-axis ``mask_h`` (3, B, H) selects
+    the kernels' per-gate recurrent-mask variant.
     """
     from ..core.policy import cast_in
-    from .pallas.gru_kernel import (LANE, gru_recurrence_pallas,
-                                    interleave_gates)
+    from .pallas.gru_kernel import LANE, gru_recurrence_pallas
 
-    seq_len, batch, _ = xt.shape
     dim_h = params.w_hh.shape[0]
     hp = ((dim_h + LANE - 1) // LANE) * LANE
     pad_h = hp - dim_h
 
-    def pad_gates(w):  # (..., 3H) -> (..., 3Hp) interleaved
-        w3 = jnp.pad(w.reshape(w.shape[:-1] + (3, dim_h)),
-                     [(0, 0)] * (w.ndim - 1) + [(0, 0), (0, pad_h)])
-        return interleave_gates(w3)
-
-    w_ih = pad_gates(params.w_ih)
-    b_ih = pad_gates(params.b_ih)
-    w_hh = jnp.pad(pad_gates(params.w_hh), ((0, pad_h), (0, 0)))
-    b_hh = pad_gates(params.b_hh)[None]  # (1, 3Hp) f32
-
-    xc, wp = cast_in(xt.reshape(seq_len * batch, -1), w_ih)
-    x_proj = (jnp.dot(xc, wp, preferred_element_type=jnp.float32) + b_ih)
-    x_proj = x_proj.reshape(seq_len, batch, 3 * hp).astype(jnp.bfloat16)
+    if x_proj is None:
+        seq_len, batch, _ = xt.shape
+        w_ih = _pad_gates(params.w_ih, dim_h, pad_h)
+        b_ih = _pad_gates(params.b_ih, dim_h, pad_h)
+        xc, wp = cast_in(xt.reshape(seq_len * batch, -1), w_ih)
+        x_proj = (jnp.dot(xc, wp, preferred_element_type=jnp.float32) + b_ih)
+        x_proj = x_proj.reshape(seq_len, batch, 3 * hp).astype(jnp.bfloat16)
+    else:
+        seq_len, batch = x_proj.shape[:2]
+    w_hh = jnp.pad(_pad_gates(params.w_hh, dim_h, pad_h), ((0, pad_h), (0, 0)))
+    b_hh = _pad_gates(params.b_hh, dim_h, pad_h)[None]  # (1, 3Hp) f32
 
     if mask_h is None:
         mask = jnp.ones((batch, hp), jnp.bfloat16)
-    else:
-        mask = jnp.pad(mask_h, ((0, 0), (0, pad_h))).astype(jnp.bfloat16)
+    else:  # (B, H) shared or (3, B, H) per-gate; pad the hidden axis
+        pad = [(0, 0)] * (mask_h.ndim - 1) + [(0, pad_h)]
+        mask = jnp.pad(mask_h, pad).astype(jnp.bfloat16)
 
     from .pallas.gru_kernel import MAX_BATCH
 
@@ -195,10 +279,11 @@ def _gru_pallas_path(params: "GRUParams", xt: jax.Array,
     pb = n_chunks * chunk
     if pb != batch:
         x_proj = jnp.pad(x_proj, ((0, 0), (0, pb - batch), (0, 0)))
-        mask = jnp.pad(mask, ((0, pb - batch), (0, 0)))
+        bpad = [(0, 0)] * (mask.ndim - 2) + [(0, pb - batch), (0, 0)]
+        mask = jnp.pad(mask, bpad)
     outs = [gru_recurrence_pallas(
         w_hh, b_hh, x_proj[:, i * chunk:(i + 1) * chunk],
-        mask[i * chunk:(i + 1) * chunk], interpret)
+        mask[..., i * chunk:(i + 1) * chunk, :], interpret)
         for i in range(n_chunks)]
     return jnp.concatenate(outs, axis=1)[:, :batch, :dim_h]
 
@@ -312,12 +397,22 @@ _gru_core.defvjp(_gru_core_fwd, _gru_core_bwd)
 def gru_scan(params: GRUParams, x: jax.Array, *, dropout: float = 0.0,
              deterministic: bool = True, rng: jax.Array | None = None,
              h0: jax.Array | None = None, unroll: int | None = None,
-             time_major_out: bool = False) -> jax.Array:
+             time_major_out: bool = False,
+             per_gate_masks: bool = False) -> jax.Array:
     """Run a GRU over (B, T, D) -> all hidden states (B, T, H).
 
     With ``time_major_out=True`` returns (T, B, H) — the scan's native
     layout — for callers that gather one timestep (``select_last_tm``);
     this skips a (B, T, H) transpose copy of the full state tensor.
+
+    ``per_gate_masks=True`` draws SIX independent variational masks — one
+    per gate-side projection, matching skip-thoughts.torch's BayesianGRU,
+    which wraps each of its six Linears in its own per-sequence dropout
+    (reference seq2vec.py:80-85 via the external skip-thoughts.torch dep) —
+    instead of one mask shared across the three input gates and one across
+    the three recurrent gates.  Identical marginal drop rate and scaling;
+    the difference is cross-gate noise correlation in training mode
+    (VERDICT r3 #4).  Oracle parity: tests/test_bayesian_gru_oracle.py.
     """
     batch, seq_len, _ = x.shape
     dim_h = params.w_hh.shape[0]
@@ -330,20 +425,33 @@ def gru_scan(params: GRUParams, x: jax.Array, *, dropout: float = 0.0,
         if rng is None:
             raise ValueError("rng required for non-deterministic GRU")
         kx, kh = jax.random.split(rng)
-        # variational dropout: one mask per sequence, shared across time
+        # variational dropout: one mask per sequence, shared across time;
+        # leading axis 3 = one independent mask per gate (r, z, n) when
+        # per_gate_masks is on
+        gshape = (3,) if per_gate_masks else ()
         keep_x, scale_x = rng_lib.keep_mask(kx, 1.0 - dropout,
-                                            (batch, x.shape[-1]))
+                                            gshape + (batch, x.shape[-1]))
         mask_x = keep_x.astype(x.dtype) * jnp.asarray(scale_x, x.dtype)
         keep_h, scale_h = rng_lib.keep_mask(kh, 1.0 - dropout,
-                                            (batch, dim_h))
+                                            gshape + (batch, dim_h))
         mask_h = keep_h.astype(x.dtype) * jnp.asarray(scale_h, x.dtype)
-        x = x * mask_x[:, None, :]
+        if not per_gate_masks:
+            x = x * mask_x[:, None, :]
 
     mode = _pallas_gru_mode()
     if _pallas_gru_eligible(batch, None if h0_is_zero else h0, mode):
-        states = _gru_pallas_path(params, jnp.swapaxes(x, 0, 1), mask_h,
-                                  mode == "interpret")
+        if mask_x is not None and per_gate_masks:
+            xt, x_proj = None, _per_gate_x_proj(params, x, mask_x)
+        else:
+            xt, x_proj = jnp.swapaxes(x, 0, 1), None
+        states = _gru_pallas_path(params, xt, mask_h,
+                                  mode == "interpret", x_proj=x_proj)
         return states if time_major_out else jnp.swapaxes(states, 0, 1)
+
+    if mask_x is not None and per_gate_masks:
+        return _gru_scan_per_gate(params, x, mask_x, mask_h, h0,
+                                  unroll or _default_unroll(),
+                                  time_major_out)
 
     from ..core.policy import cast_in, compute_dtype
 
