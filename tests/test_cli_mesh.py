@@ -29,6 +29,18 @@ def test_counterexamples_cli_mesh_2axis_rowsharded(tmp_path):
     assert 0.0 <= info[0]["recall"] <= 1.0
 
 
+def test_contrastive_cli_mesh_dp(tmp_path):
+    """--mesh on the contrastive trainer (VERDICT r3 #7): the triple batch
+    shards over 'data' like the CX path; one epoch trains and evals."""
+    from vqa_counterexamples_tpu.cli import contrastive as c_cli
+
+    info = c_cli.main([
+        "--epochs", "1", "--synthetic", "128", "--batch_size", "32",
+        "--mesh", "data=8", "--project_dir", str(tmp_path)])
+    assert len(info) == 1
+    assert 0.0 <= info[0]["recall"] <= 1.0
+
+
 def test_train_cli_mesh_dp(tmp_path):
     from vqa_counterexamples_tpu.cli import train as train_cli
 

@@ -37,6 +37,10 @@ def build_parser():
     parser.add_argument("-dev", "--dev_mode", action="store_true")
     parser.add_argument("--synthetic", type=int, default=0, metavar="N")
     parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--mesh", type=str, default=None,
+                        help="data-parallel mesh spec, e.g. 'data=8': shards "
+                             "the triple batch over devices (same recipe as "
+                             "counterexamples --mesh; VERDICT r3 #7)")
     return parser
 
 
@@ -125,12 +129,60 @@ def main(argv=None):
             print("=> caches unavailable (%s); disabled" % exc)
             use_cache = False
             q_train = q_val = v_train = v_val = None
+    # ---- optional data-parallel mesh (same recipe as counterexamples) ----
+    mesh = None
+    from ..parallel import parse_mesh
+
+    axes = parse_mesh(args.mesh)
+    if axes:
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel import make_mesh
+
+        n_dev = 1
+        for size in axes.values():
+            n_dev *= size
+        if batch_size % axes.get("data", 1) != 0:
+            raise ValueError("batch_size %d must divide over data=%d"
+                             % (batch_size, axes.get("data", 1)))
+        mesh = make_mesh(axes, jax.devices()[:n_dev])
+        repl = NamedSharding(mesh, P())
+        state = jax.device_put(state, repl)
+        features_train = jax.device_put(features_train, repl)
+        features_val = (features_train
+                        if features_val is features_train
+                        else jax.device_put(features_val, repl))
+        if q_train is not None:
+            q_train = jax.device_put(q_train, repl)
+            q_val = jax.device_put(q_val, repl)
+        if v_train is not None:
+            v_train = jax.device_put(v_train, repl)
+            v_val = (v_train if v_val is v_train
+                     else jax.device_put(v_val, repl))
+        print("=> Mesh %s over %d devices" % (axes, n_dev))
+
     train_step = ce.make_contrastive_train_step(model, optimizer,
                                                 base_seed=args.seed,
                                                 use_q_cache=use_cache,
                                                 use_v_cache=use_cache)
     eval_step = ce.make_contrastive_eval_step(model, use_q_cache=use_cache,
                                               use_v_cache=use_cache)
+
+    def shard(batch):
+        if mesh is None:
+            return batch
+        from ..parallel import shard_batch
+
+        return shard_batch(batch, mesh)
+
+    def mesh_ctx():
+        import contextlib
+
+        import jax
+
+        return (jax.set_mesh(mesh) if mesh is not None
+                else contextlib.nullcontext())
 
     def run_eval():
         from ..core import policy
@@ -142,10 +194,11 @@ def main(argv=None):
         step = 0
         for idx, n_valid in vqacx.batch_indices(val_arrays.size, batch_size,
                                                 shuffle=False):
-            out = eval_step(params, features_val,
-                            vqacx.gather_batch(val_arrays, idx),
-                            jnp.asarray(n_valid, jnp.float32),
-                            jnp.asarray(step, jnp.int32), q_val, v_val)
+            with mesh_ctx():
+                out = eval_step(params, features_val,
+                                shard(vqacx.gather_batch(val_arrays, idx)),
+                                jnp.asarray(n_valid, jnp.float32),
+                                jnp.asarray(step, jnp.int32), q_val, v_val)
             totals["correct"] += float(out["correct"])
             n += n_valid
             step += 1
@@ -158,10 +211,11 @@ def main(argv=None):
         b = 0
         for idx, n_valid in vqacx.batch_indices(pw.size, batch_size,
                                                 shuffle=True, rng=rng):
-            batch = vqacx.gather_batch(pw, idx)
-            state, m = train_step(state, features_train, batch,
-                                  jnp.asarray(n_valid, jnp.float32),
-                                  q_train, v_train)
+            batch = shard(vqacx.gather_batch(pw, idx))
+            with mesh_ctx():
+                state, m = train_step(state, features_train, batch,
+                                      jnp.asarray(n_valid, jnp.float32),
+                                      q_train, v_train)
             b += 1
             if b % args.print_freq == 0:
                 metrics = {k: float(v) for k, v in m.items()}
