@@ -1,5 +1,7 @@
 """Weight porting: skip-thoughts converter + npz grafting round trip."""
 
+import os
+
 import numpy as np
 import pytest
 import torch
@@ -195,3 +197,71 @@ def test_port_cli_dir_st_mode(tmp_path):
           str(tmp_path / "wid.pickle"), "--out", out_path])
     data2 = np.load(out_path)
     np.testing.assert_array_equal(data["embedding"], data2["embedding"])
+
+
+def test_train_cli_initializes_seq2vec_from_dir_st(tmp_path, capsys):
+    """cli/train grafts the adapted skip-thoughts npz over the random
+    seq2vec init when the configured dir_st holds one (the reference's
+    seq2vec.py:80-85 pretrained-load behavior, which external
+    skip-thoughts.torch performed at model construction)."""
+    import pickle
+
+    import yaml
+
+    from vqa_counterexamples_tpu.cli import train as tr_cli
+
+    D, H = 8, 12
+    n_words = 80  # _synthetic_vqa vocab size
+    dir_st = tmp_path / "st"
+    dir_st.mkdir()
+    rng = np.random.default_rng(0)
+    npz = {
+        "embedding": rng.normal(size=(n_words + 1, D)).astype(np.float32),
+        "w_ih": rng.normal(size=(D, 3 * H)).astype(np.float32),
+        "b_ih": rng.normal(size=(3 * H,)).astype(np.float32),
+        "w_hh": rng.normal(size=(H, 3 * H)).astype(np.float32),
+        "b_hh": np.zeros((3 * H,), np.float32),
+    }
+    np.savez(str(dir_st / "adapted_uniskip.npz"), **npz)
+
+    opt = {
+        "logs": {"dir_logs": str(tmp_path / "logs")},
+        "vqa": {"dataset": "VQA2", "dir": str(tmp_path), "trainsplit":
+                "train", "nans": 8, "maxlength": 10, "minwcount": 0,
+                "nlp": "mcb", "pad": "right", "samplingans": True},
+        "coco": {"dir": str(tmp_path), "arch": "tiny", "mode": "noatt",
+                 "size": 64},
+        "model": {
+            "arch": "MutanNoAtt",
+            "seq2vec": {"arch": "skipthoughts", "type": "BayesianUniSkip",
+                        "dropout": 0.25, "fixed_emb": False,
+                        "dir_st": str(dir_st), "emb_size": D,
+                        "hidden_size": H},
+            "fusion": {"dim_v": 16, "dim_q": H, "dim_hv": 6, "dim_hq": 6,
+                       "dim_mm": 6, "R": 2, "dropout_v": 0.5,
+                       "dropout_q": 0.5, "activation_v": "tanh",
+                       "activation_q": "tanh", "dropout_hv": 0,
+                       "dropout_hq": 0},
+            "classif": {"dropout": 0.5},
+        },
+        # lr 0: params keep their initial values, so the saved checkpoint
+        # must carry the npz weights verbatim
+        "optim": {"lr": 0.0, "batch_size": 16, "epochs": 1},
+    }
+    yaml_path = str(tmp_path / "opt.yaml")
+    with open(yaml_path, "w") as f:
+        yaml.safe_dump(opt, f)
+    tr_cli.main(["--path_opt", yaml_path, "--synthetic", "48"])
+    out = capsys.readouterr().out
+    assert "seq2vec initialized from" in out
+
+    import flax.serialization as ser
+
+    with open(os.path.join(str(tmp_path / "logs"),
+                           "best_model.msgpack"), "rb") as f:
+        tree = ser.msgpack_restore(f.read())
+    params = tree["params"] if "params" in tree else tree
+    got_emb = np.asarray(params["seq2vec"]["embedding"])
+    np.testing.assert_allclose(got_emb, npz["embedding"], rtol=1e-6)
+    got_wih = np.asarray(params["seq2vec"]["gru"]["w_ih"])
+    np.testing.assert_allclose(got_wih, npz["w_ih"], rtol=1e-6)

@@ -182,6 +182,26 @@ def main(argv=None):
     state = vqa_engine.init_vqa_state(model, optimizer, example,
                                       seed=args.seed)
 
+    # ---- pretrained skip-thoughts init (reference seq2vec.py:80-85: the
+    # external package loads dir_st weights at construction).  The adapted
+    # npz is produced by cli/port_skipthoughts from the raw Cadene
+    # artifacts; when the configured dir_st holds one, graft it over the
+    # random seq2vec init.  Absent file = train from scratch (the
+    # --untrained_vqa-style path), exactly as before. ----
+    seq_opt = options["model"].get("seq2vec", {})
+    if seq_opt.get("arch") == "skipthoughts" and not args.resume:
+        from ..models.seq2vec import load_skipthoughts_npz
+
+        st_npz = seq_opt.get(
+            "weights", os.path.join(seq_opt.get("dir_st", ""),
+                                    "adapted_uniskip.npz"))
+        if st_npz and os.path.exists(st_npz):
+            params = dict(state.params)
+            params["seq2vec"] = load_skipthoughts_npz(
+                dict(params["seq2vec"]), st_npz)
+            state = state._replace(params=params)
+            print("=> seq2vec initialized from %s" % st_npz)
+
     # ---- optional data-parallel mesh ----
     mesh = None
     if args.mesh:

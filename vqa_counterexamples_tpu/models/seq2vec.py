@@ -133,6 +133,10 @@ def factory(vocab_words: Sequence[str], opt: dict) -> nn.Module:
             dropout=opt.get("dropout", 0.25),
             fixed_emb=opt.get("fixed_emb", False),
             bayesian=opt.get("type", "BayesianUniSkip").startswith("Bayesian"),
+            # published skip-thoughts sizes by default; overridable for
+            # tiny-dim tests of the pretrained-init wire
+            emb_size=opt.get("emb_size", 620),
+            hidden_size=opt.get("hidden_size", 2400),
         )
     if arch == "2-lstm":
         return TwoLSTM(vocab_size=len(vocab_words),
@@ -149,7 +153,7 @@ def output_dim(opt: dict) -> int:
     """Embedding width produced by the encoder selected by ``opt``."""
     arch = opt["arch"]
     if arch == "skipthoughts":
-        return 2400
+        return opt.get("hidden_size", 2400)
     if arch == "2-lstm":
         return 2 * opt["hidden_size"]
     if arch == "lstm":
