@@ -190,8 +190,16 @@ def main():
     mfu = (ips * gflop_per_img * 1e9 / peak_flops
            ) if (gflop_per_img and peak_flops) else None
 
+    # window-health stanza (VERDICT r3 #8)
+    try:
+        from env_health import collect as collect_env_health
+
+        env_health = collect_env_health()
+    except Exception as exc:  # noqa: BLE001
+        env_health = {"error": str(exc)}
     print(json.dumps({
         "metric": "resnet152_extract_images_per_sec",
+        "env_health": env_health,
         "value": round(ips, 1),
         "unit": "images/sec/chip",
         "windows": [round(r, 1) for r in rates],

@@ -131,6 +131,15 @@ def main():
               "n_images": N_IMG, "n_examples": N_EX, "batch_size": BATCH,
               "scan_len": SCAN_LEN, "epochs": EPOCHS,
               "host_cores": os.cpu_count()}
+    # window-health stanza (VERDICT r3 #8): lets a reader tell a healthy-
+    # window artifact from one taken during a tunnel/compile-service
+    # degradation
+    try:
+        from env_health import collect as collect_env_health
+
+        report["env_health"] = collect_env_health()
+    except Exception as exc:  # noqa: BLE001
+        report["env_health"] = {"error": str(exc)}
     workdir = tempfile.mkdtemp(prefix="pipeline_e2e_")
     try:
         # ---- 1. jpegs ----

@@ -165,12 +165,20 @@ def main():
     out["n_clients"] = n_clients
     out["m_requests"] = m_requests
 
+    # window-health stanza (VERDICT r3 #8)
+    try:
+        from env_health import collect as collect_env_health
+
+        env_health = collect_env_health()
+    except Exception as exc:  # noqa: BLE001
+        env_health = {"error": str(exc)}
     print(json.dumps({
         "metric": "demo_serve_latency_ms",
         "value": round(lat_ms, 2),
         "unit": "ms/request",
         "arch": args.arch,
         **out,
+        "env_health": env_health,
         "device": jax.devices()[0].device_kind,
     }))
 

@@ -87,7 +87,15 @@ def main():
               "unit": "examples/sec/chip", "n_examples": N_EXAMPLES,
               "n_images": N_IMAGES, "batch_size": BATCH,
               "scan_len": SCAN_LEN}
+    # window-health stanza (VERDICT r3 #8)
+    try:
+        from env_health import collect as collect_env_health
 
+        report["env_health"] = collect_env_health()
+    except Exception as exc:  # noqa: BLE001
+        report["env_health"] = {"error": str(exc)}
+
+    run_t0 = time.time()
     t0 = time.time()
     # true_knn=False: the exact-KNN build is O(N^2) host RAM (27 GB at this
     # scale) and the soak only needs structurally-valid candidate lists
@@ -185,8 +193,25 @@ def main():
     report["stack_build_s"] = [round(s, 1) for s in stack_build_s]
     steady_both = ([e + s for e, s in zip(epoch_s, stack_build_s)][1:]
                    or [epoch_s[0] + stack_build_s[0]])
-    report["end_to_end_examples_per_sec"] = round(
+    # honest scoping (VERDICT r3 weak #4): the old name
+    # ``end_to_end_examples_per_sec`` read as whole-run but measured steady
+    # epochs + stacking only; it is renamed, and two whole-run rates join
+    # it — the run as measured, and the reference 20-epoch recipe
+    # (README.md:55-61) with this run's one-time costs amortized over 20
+    # steady epochs
+    report["steady_epoch_plus_stacking_examples_per_sec"] = round(
         steps_per_epoch * BATCH * len(steady_both) / sum(steady_both), 1)
+    whole_run_s = time.time() - run_t0
+    report["whole_run_s"] = round(whole_run_s, 1)
+    report["whole_run_examples_per_sec"] = round(
+        steps_per_epoch * BATCH * EPOCHS / whole_run_s, 1)
+    one_time_s = whole_run_s - sum(e + s for e, s in
+                                   zip(epoch_s, stack_build_s))
+    steady_epoch_s = (sum(steady_both) / len(steady_both))
+    report["amortized_20_epoch_examples_per_sec"] = round(
+        steps_per_epoch * BATCH * 20
+        / (one_time_s + epoch_s[0] + stack_build_s[0]
+           + 19 * steady_epoch_s), 1)
     finite = [np.isfinite(l) for l in losses]
     report["loss_finite"] = bool(all(finite))
     report["loss_per_epoch"] = [l if f else None
