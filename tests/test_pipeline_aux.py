@@ -223,3 +223,19 @@ def test_curves_render(tmp_path):
     assert curves.best_trace(*loaded["val/acc1"]) == [10, 20, 20]
     out = curves.render_html({"run": loaded}, str(tmp_path / "view.html"))
     assert os.path.getsize(out) > 100
+
+
+def test_env_health_collect_shape():
+    """scripts/env_health.collect returns the three window-health signals
+    every benchmark artifact embeds (VERDICT r3 #8)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), "scripts"))
+    from env_health import collect
+
+    out = collect(n_cached_steps=5)
+    assert out["cached_steps_per_sec"] > 0
+    assert out["novel_compile_s"] > 0
+    assert out["h2d_10mb_gbps"] > 0
+    assert "device" in out and "ts" in out
