@@ -17,10 +17,16 @@ them as one small dict that every artifact script stamps under
   * ``h2d_10mb_gbps`` — host->device bandwidth on a 10 MB array, median of
     3 transfers.  Sensitive to tunnel throughput collapse.
 
-Healthy reference points on this rig (TPU v5e via axon tunnel, 2026-08):
-cached_steps_per_sec ~ 300-8000, novel_compile_s ~ 0.5-15 s,
-h2d_10mb_gbps ~ 0.3-1.5.  Anything an order of magnitude off marks the
-window as degraded.
+Observed ranges on this rig (TPU v5e via axon tunnel, 2026-08, from the
+committed r04 artifacts): cached_steps_per_sec spans ~700 (sampled at the
+end of a sustained-load serve run — heavy traffic itself throttles the
+tunnel) to ~43,000 (idle window, E2E_r04); novel_compile_s ~0.5-15 s when
+the compile service is healthy, minutes when it is not; h2d_10mb_gbps
+~0.05 under sustained load to ~1.3 idle.  Because load throttling is
+real, interpret the stanza RELATIVE to the workload that produced it:
+degraded-window red flags are novel_compile_s over ~60 s, or an idle-
+sampled cached_steps_per_sec under ~300 / h2d under ~0.05 — not simply
+any value outside the idle band.
 
 Usage:  python scripts/env_health.py            # prints the JSON stanza
         from env_health import collect          # embed in an artifact

@@ -57,6 +57,17 @@ def parse_block(lines, i, indent):
     return out, i
 
 
+def _first(d, key):
+    """First repeated-field value of a parse_block dict, or None.
+
+    parse_block yields defaultdict(list); absent fields are empty lists,
+    so ``d[key][0]`` is not safe without this presence check."""
+    if not isinstance(d, dict):
+        return None
+    v = d.get(key)
+    return v[0] if v else None
+
+
 def planes_from_text(text: str):
     lines = text.splitlines()
     i, planes = 0, []
@@ -83,16 +94,21 @@ def _tpu_plane_tables(plane):
     """
     statm = {}
     for sm in plane.get(5, []):  # XPlane.stat_metadata
-        if isinstance(sm, dict) and isinstance(sm[2][0], dict):
-            statm[int(sm[1][0])] = str(sm[2][0].get(2, ["?"])[0]).strip('"')
+        # parse_block returns defaultdicts: a metadata entry serialized
+        # without a value field makes sm[2] an empty list, so index only
+        # after checking presence (sm[2][0] on it raises IndexError)
+        val = _first(sm, 2)
+        sid = _first(sm, 1)
+        if isinstance(val, dict) and sid is not None:
+            statm[int(sid)] = str(val.get(2, ["?"])[0]).strip('"')
     inv = {v: k for k, v in statm.items()}
     ba_id, mab_id = inv.get("bytes_accessed"), inv.get(
         "memory_access_breakdown")
     md = {}
     for em in plane.get(4, []):  # XPlane.event_metadata
-        if not isinstance(em, dict) or not isinstance(em[2][0], dict):
+        m = _first(em, 2)
+        if not isinstance(m, dict) or _first(m, 1) is None:
             continue
-        m = em[2][0]
         mid = int(m[1][0])
         name = str(m.get(2, ["?"])[0]).strip('"')
         all_bytes = hbm_bytes = 0
@@ -200,8 +216,11 @@ def report(trace_dir: str, top: int = 30):
         # XPlane.event_metadata: map<id, XEventMetadata{id=1, name=2}>
         # some entries carry a nested block where the name string should be
         # (e.g. stats-only metadata) — coerce to str so the report survives
-        evm = {int(em[1][0]): str(em[2][0].get(2, ["?"])[0])
-               for em in p.get(4, []) if isinstance(em, dict)}
+        evm = {}
+        for em in p.get(4, []):
+            key, val = _first(em, 1), _first(em, 2)
+            if key is not None and isinstance(val, dict):
+                evm[int(key)] = str(val.get(2, ["?"])[0])
         for line_ in p.get(3, []):  # XPlane.lines
             lname = line_.get(2, [""])[0]
             totals, counts = collections.Counter(), collections.Counter()

@@ -172,6 +172,11 @@ def stage_download(P, lock):
         dest_dir = {"vqa2": P.vqa_raw, "knn": P.knn_dir, "coco": P.coco_raw,
                     "skipthoughts": P.dir_st,
                     "fbresnet": P.weights_dir}[group]
+        # VQA2 zips hold flat JSONs at the zip root, but every consumer
+        # reads them from raw/annotations/ (data/interim.py:51,
+        # stage_build_vqacx below) — extract there, not into raw/
+        unzip_dir = (os.path.join(P.vqa_raw, "annotations")
+                     if group == "vqa2" else dest_dir)
         os.makedirs(dest_dir, exist_ok=True)
         for url in urls:
             name = url.rsplit("/", 1)[-1]
@@ -188,7 +193,8 @@ def stage_download(P, lock):
                 os.replace(dest + ".part", dest)
             lock.check(dest)
             if name.endswith(".zip"):
-                sh(["unzip", "-n", "-q", dest, "-d", dest_dir])
+                os.makedirs(unzip_dir, exist_ok=True)
+                sh(["unzip", "-n", "-q", dest, "-d", unzip_dir])
     n_train = len(glob.glob(os.path.join(P.coco_raw, "train2014", "*.jpg")))
     n_val = len(glob.glob(os.path.join(P.coco_raw, "val2014", "*.jpg")))
     assert n_train == N_TRAIN_IMAGES, (n_train, N_TRAIN_IMAGES)
@@ -255,10 +261,31 @@ def stage_knn(P, lock):
         assert len(next(iter(lists.values()))) == 24
 
 
+def write_vqa_train_yaml(P) -> str:
+    """Rewrite the stock VQA yaml's repo-relative data paths to the
+    earlier stages' --project_dir outputs (same recipe as
+    stage_counterexamples — without this the pretrain stage can't find
+    the preprocessed/extracted data, and the pretrained skip-thoughts
+    graft in cli/train silently never fires)."""
+    import yaml
+
+    with open(os.path.join(REPO, "configs", "vqa2",
+                           "mutan_noatt_train.yaml")) as f:
+        opt = yaml.safe_load(f)
+    opt["vqa"]["dir"] = P.dir_vqa
+    opt["coco"]["dir"] = P.dir_coco
+    opt["coco"]["path_features"] = P.features
+    opt["model"]["seq2vec"]["dir_st"] = P.dir_st
+    path_opt = os.path.join(P.project_dir, "vqa_replication.yaml")
+    with open(path_opt, "w") as f:
+        yaml.safe_dump(opt, f)
+    return path_opt
+
+
 def stage_train(P, lock):
     best = os.path.join(P.dir_logs_vqa, "best_model.msgpack")
     if not os.path.exists(best):
-        cli("train", "--path_opt", "configs/vqa2/mutan_noatt_train.yaml",
+        cli("train", "--path_opt", write_vqa_train_yaml(P),
             "--dir_logs", P.dir_logs_vqa, "--epochs", 40,
             "-b", 512)
     # Experiment.to_json layout (core/experiment.py): logged[split][meter]

@@ -122,25 +122,45 @@ def test_grads_match_scan():
 
 def test_bwd_kernel_matches_bwd_scan():
     """The fused Pallas backward and the XLA reverse-scan backward agree
-    on every cotangent, including through a dropout mask."""
+    on every cotangent, including through a dropout mask.
+
+    The VQACX_GRU_BWD switch must stay set across the WHOLE jax.grad
+    call: the custom_vjp bwd reads it when the backward traces, which
+    happens after the forward python function has returned (a previous
+    version of this test popped the var inside the loss fn, so both
+    arms silently ran the same backward).  A call counter on _bwd_scan
+    proves each arm executed the backward it claims to."""
+    from vqa_counterexamples_tpu.ops.pallas import gru_kernel as gk
+
     params, x = _mk(batch=3, seq=4, dim_in=8, dim_h=16, seed=4)
     dim_h = params.w_hh.shape[0]
     mask = (np.random.default_rng(9).random((3, dim_h)) > 0.3).astype(
         np.float32) / 0.7
 
-    def loss(params, mode):
-        os.environ["VQACX_GRU_BWD"] = mode
-        try:
-            xp, w_hh, b_hh, m, hp = _pad_args(params, x, dim_h,
-                                              mask=jnp.asarray(mask))
-            states = gru_recurrence_pallas(w_hh, b_hh, xp, m, True)
-            return jnp.sum(jnp.cos(states[:, :, :dim_h]
-                                   .astype(jnp.float32)))
-        finally:
-            os.environ.pop("VQACX_GRU_BWD", None)
+    def loss(params):
+        xp, w_hh, b_hh, m, hp = _pad_args(params, x, dim_h,
+                                          mask=jnp.asarray(mask))
+        states = gru_recurrence_pallas(w_hh, b_hh, xp, m, True)
+        return jnp.sum(jnp.cos(states[:, :, :dim_h].astype(jnp.float32)))
 
-    g_pallas = jax.grad(lambda p: loss(p, "pallas"))(params)
-    g_scan = jax.grad(lambda p: loss(p, "scan"))(params)
+    calls = {"scan": 0}
+    orig_bwd_scan = gk._bwd_scan
+
+    def counting_bwd_scan(*a, **k):
+        calls["scan"] += 1
+        return orig_bwd_scan(*a, **k)
+
+    gk._bwd_scan = counting_bwd_scan
+    try:
+        os.environ["VQACX_GRU_BWD"] = "pallas"
+        g_pallas = jax.grad(loss)(params)
+        assert calls["scan"] == 0, "pallas arm fell back to the scan bwd"
+        os.environ["VQACX_GRU_BWD"] = "scan"
+        g_scan = jax.grad(loss)(params)
+        assert calls["scan"] >= 1, "scan arm never ran the scan bwd"
+    finally:
+        gk._bwd_scan = orig_bwd_scan
+        os.environ.pop("VQACX_GRU_BWD", None)
     for name in ["w_hh", "b_hh", "w_ih", "b_ih"]:
         np.testing.assert_allclose(
             np.asarray(getattr(g_pallas, name)),
@@ -148,33 +168,58 @@ def test_bwd_kernel_matches_bwd_scan():
             atol=3e-2, rtol=3e-2, err_msg=name)
 
 
+def _count_pallas_path(monkeypatch_dict):
+    """Wrap rnn._gru_pallas_path with a call counter.  Returns (counter,
+    restore_fn).  The dispatch tests MUST assert the kernel arm really
+    took the kernel path: VQACX_COMPUTE_DTYPE set via os.environ after
+    core.policy has been imported is a no-op (the policy latches the env
+    at import — the API is policy.compute_dtype_scope), which once made
+    this whole family of tests silently compare the scan path to itself
+    (code-review r4 finding)."""
+    counter = {"n": 0}
+    orig = rnn._gru_pallas_path
+
+    def counting(*a, **k):
+        counter["n"] += 1
+        return orig(*a, **k)
+
+    rnn._gru_pallas_path = counting
+    return counter, lambda: setattr(rnn, "_gru_pallas_path", orig)
+
+
 def test_gru_scan_dispatch_parity():
     """VQACX_GRU_PALLAS=interpret routes gru_scan through the kernel and
     matches the scan path (same bf16 policy) including dropout masks."""
+    from vqa_counterexamples_tpu.core import policy
+
     params, x = _mk(batch=6, seq=5, dim_in=10, dim_h=24, seed=2)
-    os.environ["VQACX_COMPUTE_DTYPE"] = "bfloat16"
+    counter, restore = _count_pallas_path(None)
     os.environ["VQACX_GRU_PALLAS"] = "interpret"
     try:
-        got = rnn.gru_scan(params, x)
-        assert got.shape == (6, 5, 24)
-        os.environ["VQACX_GRU_PALLAS"] = "0"
-        ref = rnn.gru_scan(params, x)
-        np.testing.assert_allclose(np.asarray(got, np.float32),
-                                   np.asarray(ref, np.float32),
-                                   atol=5e-2, rtol=5e-2)
-        # dropout path: same rng -> same masks in both formulations
-        key = jax.random.key(7)
-        os.environ["VQACX_GRU_PALLAS"] = "interpret"
-        got_d = rnn.gru_scan(params, x, dropout=0.5, deterministic=False,
-                             rng=key)
-        os.environ["VQACX_GRU_PALLAS"] = "0"
-        ref_d = rnn.gru_scan(params, x, dropout=0.5, deterministic=False,
-                             rng=key)
-        np.testing.assert_allclose(np.asarray(got_d, np.float32),
-                                   np.asarray(ref_d, np.float32),
-                                   atol=8e-2, rtol=8e-2)
+        with policy.compute_dtype_scope(jnp.bfloat16):
+            got = rnn.gru_scan(params, x)
+            assert got.shape == (6, 5, 24)
+            assert counter["n"] == 1, "interpret arm did not take the kernel"
+            os.environ["VQACX_GRU_PALLAS"] = "0"
+            ref = rnn.gru_scan(params, x)
+            assert counter["n"] == 1, "scan arm took the kernel path"
+            np.testing.assert_allclose(np.asarray(got, np.float32),
+                                       np.asarray(ref, np.float32),
+                                       atol=5e-2, rtol=5e-2)
+            # dropout path: same rng -> same masks in both formulations
+            key = jax.random.key(7)
+            os.environ["VQACX_GRU_PALLAS"] = "interpret"
+            got_d = rnn.gru_scan(params, x, dropout=0.5,
+                                 deterministic=False, rng=key)
+            assert counter["n"] == 2
+            os.environ["VQACX_GRU_PALLAS"] = "0"
+            ref_d = rnn.gru_scan(params, x, dropout=0.5,
+                                 deterministic=False, rng=key)
+            np.testing.assert_allclose(np.asarray(got_d, np.float32),
+                                       np.asarray(ref_d, np.float32),
+                                       atol=8e-2, rtol=8e-2)
     finally:
-        os.environ.pop("VQACX_COMPUTE_DTYPE", None)
+        restore()
         os.environ.pop("VQACX_GRU_PALLAS", None)
 
 
@@ -182,9 +227,11 @@ def test_gru_scan_per_gate_dispatch_parity():
     """per_gate_masks=True (six independent masks — the BayesianUniSkip
     default, VERDICT r3 #4) agrees between the per-gate kernel variant and
     the per-gate lax.scan path, forward AND grads, under the same rng."""
+    from vqa_counterexamples_tpu.core import policy
+
     params, x = _mk(batch=6, seq=5, dim_in=10, dim_h=24, seed=5)
     key = jax.random.key(11)
-    os.environ["VQACX_COMPUTE_DTYPE"] = "bfloat16"
+    counter, restore = _count_pallas_path(None)
 
     def loss(p, mode):
         os.environ["VQACX_GRU_PALLAS"] = mode
@@ -193,56 +240,80 @@ def test_gru_scan_per_gate_dispatch_parity():
         return jnp.sum(jnp.tanh(states.astype(jnp.float32))), states
 
     try:
-        (l_got, got), g_got = jax.value_and_grad(
-            lambda p: loss(p, "interpret"), has_aux=True)(params)
-        (l_ref, ref), g_ref = jax.value_and_grad(
-            lambda p: loss(p, "0"), has_aux=True)(params)
-        np.testing.assert_allclose(np.asarray(got, np.float32),
-                                   np.asarray(ref, np.float32),
-                                   atol=8e-2, rtol=8e-2)
-        for name in ("w_ih", "b_ih", "w_hh", "b_hh"):
-            np.testing.assert_allclose(
-                np.asarray(getattr(g_got, name), np.float32),
-                np.asarray(getattr(g_ref, name), np.float32),
-                atol=8e-2, rtol=8e-2, err_msg=name)
-        # per-gate masks genuinely differ from the shared-mask result
-        os.environ["VQACX_GRU_PALLAS"] = "0"
-        shared = rnn.gru_scan(params, x, dropout=0.4, deterministic=False,
-                              rng=key, per_gate_masks=False)
-        assert not np.allclose(np.asarray(ref, np.float32),
-                               np.asarray(shared, np.float32), atol=1e-3)
+        with policy.compute_dtype_scope(jnp.bfloat16):
+            (l_got, got), g_got = jax.value_and_grad(
+                lambda p: loss(p, "interpret"), has_aux=True)(params)
+            assert counter["n"] >= 1, "kernel arm did not take the kernel"
+            n_after_kernel = counter["n"]
+            (l_ref, ref), g_ref = jax.value_and_grad(
+                lambda p: loss(p, "0"), has_aux=True)(params)
+            assert counter["n"] == n_after_kernel, \
+                "scan arm took the kernel path"
+            np.testing.assert_allclose(np.asarray(got, np.float32),
+                                       np.asarray(ref, np.float32),
+                                       atol=8e-2, rtol=8e-2)
+            for name in ("w_ih", "b_ih", "w_hh", "b_hh"):
+                np.testing.assert_allclose(
+                    np.asarray(getattr(g_got, name), np.float32),
+                    np.asarray(getattr(g_ref, name), np.float32),
+                    atol=8e-2, rtol=8e-2, err_msg=name)
+            # per-gate masks genuinely differ from the shared-mask result
+            os.environ["VQACX_GRU_PALLAS"] = "0"
+            shared = rnn.gru_scan(params, x, dropout=0.4,
+                                  deterministic=False, rng=key,
+                                  per_gate_masks=False)
+            assert not np.allclose(np.asarray(ref, np.float32),
+                                   np.asarray(shared, np.float32),
+                                   atol=1e-3)
     finally:
-        os.environ.pop("VQACX_COMPUTE_DTYPE", None)
+        restore()
         os.environ.pop("VQACX_GRU_PALLAS", None)
 
 
 def test_gru_bwd_scan_per_gate_matches_pallas_bwd():
     """VQACX_GRU_BWD=scan (the measured fallback) also implements the
-    per-gate backward: cotangents match the fused kernel backward."""
+    per-gate backward: cotangents match the fused kernel backward.
+
+    As in test_bwd_kernel_matches_bwd_scan, the switch must span the
+    whole jax.grad call (the bwd traces after the forward fn returns)
+    and a _bwd_scan call counter proves each arm took its path."""
+    from vqa_counterexamples_tpu.core import policy
+    from vqa_counterexamples_tpu.ops.pallas import gru_kernel as gk
+
     params, x = _mk(batch=3, seq=4, dim_in=8, dim_h=16, seed=6)
     key = jax.random.key(13)
-    os.environ["VQACX_COMPUTE_DTYPE"] = "bfloat16"
     os.environ["VQACX_GRU_PALLAS"] = "interpret"
 
-    def loss(p, bwd):
-        os.environ["VQACX_GRU_BWD"] = bwd
-        try:
-            states = rnn.gru_scan(p, x, dropout=0.4, deterministic=False,
-                                  rng=key, per_gate_masks=True)
-            return jnp.sum(jnp.cos(states.astype(jnp.float32)))
-        finally:
-            os.environ.pop("VQACX_GRU_BWD", None)
+    def loss(p):
+        states = rnn.gru_scan(p, x, dropout=0.4, deterministic=False,
+                              rng=key, per_gate_masks=True)
+        return jnp.sum(jnp.cos(states.astype(jnp.float32)))
 
+    calls = {"scan": 0}
+    orig_bwd_scan = gk._bwd_scan
+
+    def counting_bwd_scan(*a, **k):
+        calls["scan"] += 1
+        return orig_bwd_scan(*a, **k)
+
+    gk._bwd_scan = counting_bwd_scan
     try:
-        g_pallas = jax.grad(lambda p: loss(p, "pallas"))(params)
-        g_scan = jax.grad(lambda p: loss(p, "scan"))(params)
+        with policy.compute_dtype_scope(jnp.bfloat16):
+            os.environ["VQACX_GRU_BWD"] = "pallas"
+            g_pallas = jax.grad(loss)(params)
+            assert calls["scan"] == 0, \
+                "pallas arm fell back to the scan bwd"
+            os.environ["VQACX_GRU_BWD"] = "scan"
+            g_scan = jax.grad(loss)(params)
+            assert calls["scan"] >= 1, "scan arm never ran the scan bwd"
         for name in ("w_ih", "b_ih", "w_hh", "b_hh"):
             np.testing.assert_allclose(
                 np.asarray(getattr(g_pallas, name), np.float32),
                 np.asarray(getattr(g_scan, name), np.float32),
                 atol=3e-2, rtol=3e-2, err_msg=name)
     finally:
-        os.environ.pop("VQACX_COMPUTE_DTYPE", None)
+        gk._bwd_scan = orig_bwd_scan
+        os.environ.pop("VQACX_GRU_BWD", None)
         os.environ.pop("VQACX_GRU_PALLAS", None)
 
 

@@ -239,3 +239,56 @@ def test_env_health_collect_shape():
     assert out["novel_compile_s"] > 0
     assert out["h2d_10mb_gbps"] > 0
     assert "device" in out and "ts" in out
+
+
+def test_parse_xplane_tables_survive_valueless_metadata():
+    """Metadata map entries serialized without a value field (legal for
+    default-valued XStatMetadata/XEventMetadata) must be skipped, not
+    raise IndexError — an IndexError here silently discards bench.py's
+    whole measured-HBM stanza (code-review r4 finding)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), "scripts"))
+    import parse_xplane as px
+
+    plane = {5: [{1: ["3"]},  # no value field at all
+                 {2: [{2: ['"orphan"']}]},  # value but no id
+                 {1: ["4"], 2: [{2: ['"bytes_accessed"']}]}],
+             4: [{1: ["9"]},  # no XEventMetadata value
+                 {2: [{2: ['"no_id_fusion"']}]},  # value without id field
+                 {2: [{1: ["7"], 2: ['"fusion.1"']}]}]}
+    statm, md = px._tpu_plane_tables(plane)
+    assert statm == {4: "bytes_accessed"}
+    assert md == {7: ("fusion.1", 0, 0)}
+
+
+def test_replication_vqa_yaml_rewrites_project_paths(tmp_path):
+    """stage_train must point the stock yaml's repo-relative data paths
+    at the --project_dir the earlier stages populated (code-review r4
+    finding: without the rewrite the pretrain stage trains on nothing
+    and the skip-thoughts graft never fires)."""
+    import sys
+    import types
+
+    import yaml
+
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), "scripts"))
+    import replicate_reference as rr
+
+    P = types.SimpleNamespace(
+        project_dir=str(tmp_path),
+        dir_vqa=str(tmp_path / "data" / "vqa2"),
+        dir_coco=str(tmp_path / "data" / "coco"),
+        features=str(tmp_path / "data" / "coco" / "extract" / "x"),
+        dir_st=str(tmp_path / "data" / "skip-thoughts"))
+    path_opt = rr.write_vqa_train_yaml(P)
+    opt = yaml.safe_load(open(path_opt))
+    assert opt["vqa"]["dir"] == P.dir_vqa
+    assert opt["coco"]["dir"] == P.dir_coco
+    assert opt["coco"]["path_features"] == P.features
+    assert opt["model"]["seq2vec"]["dir_st"] == P.dir_st
+    # untouched hyperparameters survive the rewrite
+    assert opt["model"]["arch"] == "MutanNoAtt"
+    assert opt["optim"]["batch_size"] == 512

@@ -149,16 +149,20 @@ def main(argv=None):
         mesh = make_mesh(axes, jax.devices()[:n_dev])
         repl = NamedSharding(mesh, P())
         state = jax.device_put(state, repl)
+        # test aliasing BEFORE rebinding: comparing against the freshly
+        # device_put array would never match and would upload (and hold)
+        # the shared table twice
+        features_aliased = features_val is features_train
         features_train = jax.device_put(features_train, repl)
-        features_val = (features_train
-                        if features_val is features_train
+        features_val = (features_train if features_aliased
                         else jax.device_put(features_val, repl))
         if q_train is not None:
             q_train = jax.device_put(q_train, repl)
             q_val = jax.device_put(q_val, repl)
         if v_train is not None:
+            v_aliased = v_val is v_train
             v_train = jax.device_put(v_train, repl)
-            v_val = (v_train if v_val is v_train
+            v_val = (v_train if v_aliased
                      else jax.device_put(v_val, repl))
         print("=> Mesh %s over %d devices" % (axes, n_dev))
 

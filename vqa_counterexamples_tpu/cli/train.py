@@ -192,9 +192,13 @@ def main(argv=None):
     if seq_opt.get("arch") == "skipthoughts" and not args.resume:
         from ..models.seq2vec import load_skipthoughts_npz
 
+        # an unset/empty dir_st must NOT fall back to a bare relative
+        # filename — that would silently graft whatever stray
+        # adapted_uniskip.npz happens to sit in the caller's CWD
+        dir_st = seq_opt.get("dir_st", "")
         st_npz = seq_opt.get(
-            "weights", os.path.join(seq_opt.get("dir_st", ""),
-                                    "adapted_uniskip.npz"))
+            "weights",
+            os.path.join(dir_st, "adapted_uniskip.npz") if dir_st else "")
         if st_npz and os.path.exists(st_npz):
             params = dict(state.params)
             params["seq2vec"] = load_skipthoughts_npz(

@@ -483,9 +483,10 @@ def _bwd_scan(w, xp, mask, states, hprojs, dstates, unroll: int = 1):
     return dw, db, dx_proj.astype(xp.dtype), dmask
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def gru_recurrence_pallas(w: jax.Array, b: jax.Array, xp: jax.Array,
-                          mask: jax.Array, interpret: bool = False):
+                          mask: jax.Array, interpret: bool = False,
+                          bwd_pallas: bool | None = None):
     """Differentiable fused recurrence on the padded interleaved domain
     (h0 = 0).
 
@@ -494,12 +495,19 @@ def gru_recurrence_pallas(w: jax.Array, b: jax.Array, xp: jax.Array,
     compute dtype; ``b`` is (1, 3Hp) f32; ``mask`` is the variational
     dropout mask — (B, Hp) shared across gates, or (3, B, Hp) with one
     independent mask per gate (skip-thoughts.torch BayesianGRU semantics).
+
+    ``bwd_pallas`` selects the backward implementation (fused kernel vs
+    XLA reverse scan) as a static argument; ``None`` reads VQACX_GRU_BWD
+    at trace time.  It is part of the custom_vjp's nondiff key on
+    purpose: JAX caches custom_vjp backward traces, so an env read
+    buried inside the cached backward is silently ignored once a trace
+    with the other mode exists for the same shapes.
     """
     states, _ = gru_fwd_pallas(xp, w, b, mask, interpret=interpret)
     return states
 
 
-def _gru_fwd(w, b, xp, mask, interpret):
+def _gru_fwd(w, b, xp, mask, interpret, bwd_pallas):
     states, hprojs = gru_fwd_pallas(xp, w, b, mask, interpret=interpret)
     return states, (w, xp, mask, states, hprojs)
 
@@ -512,9 +520,11 @@ def _bwd_uses_pallas() -> bool:
     return os.environ.get("VQACX_GRU_BWD", "pallas") != "scan"
 
 
-def _gru_bwd(interpret, res, dstates):
+def _gru_bwd(interpret, bwd_pallas, res, dstates):
     w, xp, mask, states, hprojs = res
-    if _bwd_uses_pallas():
+    if bwd_pallas is None:
+        bwd_pallas = _bwd_uses_pallas()
+    if bwd_pallas:
         dw, db, dxp, dmask = gru_bwd_pallas(w, xp, mask, states, hprojs,
                                             dstates, interpret=interpret)
     else:

@@ -263,9 +263,17 @@ def _gru_pallas_path(params: "GRUParams", xt: jax.Array | None,
 
     from .pallas.gru_kernel import MAX_BATCH
 
+    # resolve the backward-mode switch HERE (host time when this path is
+    # not under jit) and thread it as a static arg: JAX caches custom_vjp
+    # backward traces, so an env read inside the cached backward would be
+    # silently ignored once a trace with the other mode exists
+    from .pallas.gru_kernel import _bwd_uses_pallas
+
+    bwd_pallas = _bwd_uses_pallas()
     w_hh = w_hh.astype(jnp.bfloat16)
     if batch <= MAX_BATCH:
-        states = gru_recurrence_pallas(w_hh, b_hh, x_proj, mask, interpret)
+        states = gru_recurrence_pallas(w_hh, b_hh, x_proj, mask, interpret,
+                                       bwd_pallas)
         return states[:, :, :dim_h]
 
     # the recurrence is independent per example, and MAX_BATCH is only the
@@ -283,7 +291,7 @@ def _gru_pallas_path(params: "GRUParams", xt: jax.Array | None,
         mask = jnp.pad(mask, bpad)
     outs = [gru_recurrence_pallas(
         w_hh, b_hh, x_proj[:, i * chunk:(i + 1) * chunk],
-        mask[..., i * chunk:(i + 1) * chunk, :], interpret)
+        mask[..., i * chunk:(i + 1) * chunk, :], interpret, bwd_pallas)
         for i in range(n_chunks)]
     return jnp.concatenate(outs, axis=1)[:, :batch, :dim_h]
 
