@@ -100,7 +100,9 @@ def _tpu_plane_tables(plane):
         val = _first(sm, 2)
         sid = _first(sm, 1)
         if isinstance(val, dict) and sid is not None:
-            statm[int(sid)] = str(val.get(2, ["?"])[0]).strip('"')
+            sname = _first(val, 2)
+            if isinstance(sname, str):
+                statm[int(sid)] = sname.strip('"')
     inv = {v: k for k, v in statm.items()}
     ba_id, mab_id = inv.get("bytes_accessed"), inv.get(
         "memory_access_breakdown")
@@ -110,7 +112,12 @@ def _tpu_plane_tables(plane):
         if not isinstance(m, dict) or _first(m, 1) is None:
             continue
         mid = int(m[1][0])
-        name = str(m.get(2, ["?"])[0]).strip('"')
+        raw_name = _first(m, 2)
+        # field 2 can hold a nested stats block instead of the name string
+        # (stats-only metadata): str() of that parse dict is garbage — fall
+        # back to a stable id-derived label
+        name = (str(raw_name).strip('"')
+                if isinstance(raw_name, str) else "op_%d" % mid)
         all_bytes = hbm_bytes = 0
         for s in m.get(5, []):  # XEventMetadata.stats
             if not isinstance(s, dict):
@@ -162,7 +169,8 @@ def hbm_summary(trace_dir: str, n_steps: int, top: int = 8) -> dict:
             continue
         _, md = _tpu_plane_tables(p)
         for line_ in p.get(3, []):
-            lname = str(line_.get(2, [""])[0])
+            lraw = _first(line_, 2)
+            lname = lraw if isinstance(lraw, str) else ""
             if "Steps" in lname or "Module" in lname:
                 continue  # step/module envelopes: no op-level bytes
             is_tc = "XLA Ops" in lname
@@ -220,7 +228,9 @@ def report(trace_dir: str, top: int = 30):
         for em in p.get(4, []):
             key, val = _first(em, 1), _first(em, 2)
             if key is not None and isinstance(val, dict):
-                evm[int(key)] = str(val.get(2, ["?"])[0])
+                vname = _first(val, 2)
+                evm[int(key)] = (vname if isinstance(vname, str)
+                                 else "op_%s" % key)
         for line_ in p.get(3, []):  # XPlane.lines
             lname = line_.get(2, [""])[0]
             totals, counts = collections.Counter(), collections.Counter()
