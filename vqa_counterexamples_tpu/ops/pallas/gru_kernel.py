@@ -105,10 +105,6 @@ def _fwd_kernel(xp_ref, w_ref, b_ref, mask_ref, states_ref, hproj_ref,
     t = pl.program_id(0)
     j = pl.program_id(1)
     tile = states_ref.shape[-1]
-    # static variant switch: a 3-axis mask block = one independent
-    # variational mask per gate (skip-thoughts.torch BayesianGRU semantics,
-    # VERDICT r3 #4); hin_scr is then (3, B, Hp)
-    per_gate = mask_ref.ndim == 3
 
     @pl.when(jnp.logical_and(t == 0, j == 0))
     def _():
@@ -118,24 +114,11 @@ def _fwd_kernel(xp_ref, w_ref, b_ref, mask_ref, states_ref, hproj_ref,
     # per-column h updates below then safely write h_scr in place
     @pl.when(j == 0)
     def _():
-        if per_gate:
-            hin_scr[0] = h_scr[:] * mask_ref[0]
-            hin_scr[1] = h_scr[:] * mask_ref[1]
-            hin_scr[2] = h_scr[:] * mask_ref[2]
-        else:
-            hin_scr[:] = h_scr[:] * mask_ref[:]
+        hin_scr[:] = h_scr[:] * mask_ref[:]
 
-    if per_gate:
-        # three per-gate MXU matmuls over this tile's column blocks; same
-        # streamed weight bytes, (B, Hp) x (Hp, tile) each
-        hp_all = jnp.concatenate(
-            [jnp.dot(hin_scr[g], w_ref[:, g * tile:(g + 1) * tile],
-                     preferred_element_type=jnp.float32)
-             for g in range(3)], axis=1) + b_ref[0]
-    else:
-        # one MXU matmul covers all three gates' columns for this tile
-        hp_all = jnp.dot(hin_scr[:], w_ref[:],
-                         preferred_element_type=jnp.float32) + b_ref[0]
+    # one MXU matmul covers all three gates' columns for this tile
+    hp_all = jnp.dot(hin_scr[:], w_ref[:],
+                     preferred_element_type=jnp.float32) + b_ref[0]
     xp = xp_ref[0]  # (B, 3*tile) interleaved [r | z | n]
     r = jax.nn.sigmoid(xp[:, :tile] + hp_all[:, :tile])
     z = jax.nn.sigmoid(xp[:, tile:2 * tile] + hp_all[:, tile:2 * tile])
@@ -148,6 +131,60 @@ def _fwd_kernel(xp_ref, w_ref, b_ref, mask_ref, states_ref, hproj_ref,
     hproj_ref[0] = hp_all.astype(hproj_ref.dtype)
 
 
+def _fwd_kernel_pg(xr_ref, xz_ref, xn_ref, w_ref, b_ref, mask_ref,
+                   states_ref, hpr_ref, hpz_ref, hpn_ref, h_scr, hin_scr):
+    """Gate-major per-gate-mask variant (VERDICT r3 #4).
+
+    Each gate's tensors arrive as SEPARATE operands — xp_g (1, B, tile)
+    x3, hproj_g out (1, B, tile) x3, w (3, Hp, tile), b (3, 1, tile),
+    mask (3, B, Hp) — instead of the shared kernel's gate-interleaved
+    columns.  Interleaving exists so the shared kernel covers all three
+    gates with ONE matmul per tile; the per-gate variant needs three
+    matmuls on three differently-masked states regardless, and forcing
+    its host-side tensors through the interleaved layout measured
+    ~5.3 ms/step of pure relayout churn at reference dims (xplane trace,
+    2026-08-21: reshape (T·B,19,3,128) + two copies + a {1,0,2} relayout
+    on every (T,B,3Hp) tensor, fwd and bwd).  Separate per-gate operands
+    also beat one stacked (3,T,B,Hp) array: the stack/unstack pair alone
+    cost another ~1.3 ms/step (second trace, same day) — here each
+    gate's input GEMM writes a contiguous (T,B,Hp) slab the kernel reads
+    directly.
+    """
+    t = pl.program_id(0)
+    j = pl.program_id(1)
+    tile = states_ref.shape[-1]
+
+    @pl.when(jnp.logical_and(t == 0, j == 0))
+    def _():
+        h_scr[:] = jnp.zeros_like(h_scr)
+
+    # one snapshot of each gate's masked state per timestep (hin_scr is
+    # (3, B, Hp)); the per-column h updates below write h_scr in place
+    @pl.when(j == 0)
+    def _():
+        hin_scr[0] = h_scr[:] * mask_ref[0]
+        hin_scr[1] = h_scr[:] * mask_ref[1]
+        hin_scr[2] = h_scr[:] * mask_ref[2]
+
+    hp_r = jnp.dot(hin_scr[0], w_ref[0],
+                   preferred_element_type=jnp.float32) + b_ref[0, 0]
+    hp_z = jnp.dot(hin_scr[1], w_ref[1],
+                   preferred_element_type=jnp.float32) + b_ref[1, 0]
+    hp_n = jnp.dot(hin_scr[2], w_ref[2],
+                   preferred_element_type=jnp.float32) + b_ref[2, 0]
+    r = jax.nn.sigmoid(xr_ref[0] + hp_r)
+    z = jax.nn.sigmoid(xz_ref[0] + hp_z)
+    n = jnp.tanh(xn_ref[0] + r * hp_n)
+    h_old = h_scr[:, pl.ds(j * tile, tile)].astype(jnp.float32)
+    h_new = ((1.0 - z) * n + z * h_old).astype(h_scr.dtype)
+
+    h_scr[:, pl.ds(j * tile, tile)] = h_new
+    states_ref[0] = h_new
+    hpr_ref[0] = hp_r.astype(hpr_ref.dtype)
+    hpz_ref[0] = hp_z.astype(hpz_ref.dtype)
+    hpn_ref[0] = hp_n.astype(hpn_ref.dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def gru_fwd_pallas(xp: jax.Array, w: jax.Array, b: jax.Array,
                    mask: jax.Array, interpret: bool = False):
@@ -155,47 +192,72 @@ def gru_fwd_pallas(xp: jax.Array, w: jax.Array, b: jax.Array,
 
     Args:
       xp: (T, B, 3*Hp) input projections (bf16), interleaved gate columns,
-        pad columns zero.
+        pad columns zero — or a gate-major (xr, xz, xn) tuple of
+        (T, B, Hp) slabs for the per-gate mask variant.
       w: (Hp, 3*Hp) recurrent weights, interleaved columns, pad rows/cols
-        zero.
-      b: (1, 3*Hp) f32 bias, interleaved, pad columns zero.
+        zero — or gate-major (3, Hp, Hp) for the per-gate variant.
+      b: (1, 3*Hp) f32 bias, interleaved — or (3, 1, Hp) per-gate.
       mask: (B, Hp) variational dropout mask (ones when inactive), or
-        (3, B, Hp) for one independent mask per gate (r, z, n).
+        (3, B, Hp) for one independent mask per gate (r, z, n) — the
+        mask's rank selects the variant.
     Returns:
-      states (T, B, Hp) bf16, h_projs (T, B, 3*Hp) bf16 (interleaved).
+      states (T, B, Hp) bf16, and h_projs — (T, B, 3*Hp) interleaved or
+      a gate-major (r, z, n) tuple of (T, B, Hp).
     """
-    seq_len, batch, chp = xp.shape
-    hp = chp // 3
+    per_gate = mask.ndim == 3
+    if per_gate:
+        assert isinstance(xp, (tuple, list)) and len(xp) == 3, \
+            "per-gate masks take gate-major xp as a (xr, xz, xn) tuple"
+        seq_len, batch, hp = xp[0].shape
+    else:
+        seq_len, batch, chp = xp.shape
+        hp = chp // 3
     assert hp % LANE == 0, "pad the hidden dim to a lane multiple"
     tile = LANE
     grid = (seq_len, hp // tile)
-    per_gate = mask.ndim == 3
-    mask_block = ((3, batch, hp) if per_gate else (batch, hp))
 
-    states, hprojs = pl.pallas_call(
-        _fwd_kernel,
-        grid=grid,
-        in_specs=[
+    slab_spec = pl.BlockSpec((1, batch, tile), lambda t, j: (t, 0, j),
+                             memory_space=pltpu.VMEM)
+    slab_shape = jax.ShapeDtypeStruct((seq_len, batch, hp), jnp.bfloat16)
+    if per_gate:
+        in_specs = [slab_spec, slab_spec, slab_spec,
+                    pl.BlockSpec((3, hp, tile), lambda t, j: (0, 0, j),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((3, 1, tile), lambda t, j: (0, 0, j),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((3, batch, hp), lambda t, j: (0, 0, 0),
+                                 memory_space=pltpu.VMEM)]
+        out_specs = (slab_spec, slab_spec, slab_spec, slab_spec)
+        out_shape = (slab_shape, slab_shape, slab_shape, slab_shape)
+        operands = (*xp, w, b, mask)
+    else:
+        in_specs = [
             pl.BlockSpec((1, batch, 3 * tile), lambda t, j: (t, 0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((hp, 3 * tile), lambda t, j: (0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3 * tile), lambda t, j: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(mask_block, (lambda t, j: (0, 0, 0)) if per_gate
-                         else (lambda t, j: (0, 0)),
+            pl.BlockSpec((batch, hp), lambda t, j: (0, 0),
                          memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, batch, tile), lambda t, j: (t, 0, j),
-                         memory_space=pltpu.VMEM),
+        ]
+        out_specs = (
+            slab_spec,
             pl.BlockSpec((1, batch, 3 * tile), lambda t, j: (t, 0, j),
                          memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((seq_len, batch, hp), jnp.bfloat16),
+        )
+        out_shape = (
+            slab_shape,
             jax.ShapeDtypeStruct((seq_len, batch, 3 * hp), jnp.bfloat16),
-        ),
+        )
+        operands = (xp, w, b, mask)
+
+    outs = pl.pallas_call(
+        _fwd_kernel_pg if per_gate else _fwd_kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((batch, hp), jnp.bfloat16),   # h
             # h * mask snapshot (one per gate in the per-gate variant)
@@ -211,11 +273,15 @@ def gru_fwd_pallas(xp: jax.Array, w: jax.Array, b: jax.Array,
             vmem_limit_bytes=64 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=2 * seq_len * batch * hp * 3 * hp,
-            bytes_accessed=(xp.size * xp.dtype.itemsize
+            bytes_accessed=(3 * seq_len * batch * hp * 2
                             + seq_len * w.size * w.dtype.itemsize
                             + seq_len * batch * hp * 2 * 4),
             transcendentals=3 * seq_len * batch * hp),
-    )(xp, w, b, mask)
+    )(*operands)
+    if per_gate:
+        states, hprojs = outs[0], tuple(outs[1:])
+    else:
+        states, hprojs = outs
     return states, hprojs
 
 
@@ -233,9 +299,6 @@ def _bwd_kernel(ds_ref, xp_ref, hproj_ref, hprev_full_ref, w_ref, mask_ref,
     j = pl.program_id(1)
     nj = pl.num_programs(1)
     tile = ds_ref.shape[-1]
-    # static variant switch, mirroring _fwd_kernel: per-gate recurrent
-    # masks carry per-gate back/dmask accumulators (3, B, Hp)
-    per_gate = mask_ref.ndim == 3
 
     @pl.when(jnp.logical_and(t == 0, j == 0))
     def _():
@@ -268,35 +331,90 @@ def _bwd_kernel(ds_ref, xp_ref, hproj_ref, hprev_full_ref, w_ref, mask_ref,
 
     # back += dh_proj @ w_block^T as a transposed-RHS MXU contraction —
     # no (3Hp, Hp) transposed weight copy in HBM
-    if per_gate:
-        parts = (dsr, dsz, dhn)
-        for gi in range(3):
-            back_scr[gi] += jax.lax.dot_general(
-                parts[gi].astype(jnp.bfloat16),
-                w_ref[:, gi * tile:(gi + 1) * tile],
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-    else:
-        back_scr[:] += jax.lax.dot_general(
-            dh_proj, w_ref[:], (((1,), (1,)), ((), ())),
+    back_scr[:] += jax.lax.dot_general(
+        dh_proj, w_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dh_scr[:, pl.ds(j * tile, tile)] = g * z
+
+    @pl.when(j == nj - 1)
+    def _():
+        back = back_scr[:]
+        mask = mask_ref[:].astype(jnp.float32)
+        dh_scr[:] = dh_scr[:] + back * mask
+        dmask_scr[:] = dmask_scr[:] + back * hprev_full_ref[0].astype(
+            jnp.float32)
+
+    @pl.when(jnp.logical_and(t == pl.num_programs(0) - 1, j == nj - 1))
+    def _():
+        dmask_ref[:] = dmask_scr[:]
+
+
+def _bwd_kernel_pg(ds_ref, xr_ref, xz_ref, xn_ref, hpr_ref, hpz_ref,
+                   hpn_ref, hprev_full_ref, w_ref, mask_ref,
+                   dxr_ref, dxz_ref, dxn_ref, dhr_ref, dhz_ref, dhn_ref,
+                   dmask_ref, dh_scr, back_scr, dmask_scr):
+    """Gate-major per-gate-mask backward (see _fwd_kernel_pg).
+
+    Per-gate xp/hproj arrive as separate (1, B, tile) operands, w
+    (3, Hp, tile), mask (3, B, Hp); the six per-gate cotangents leave as
+    separate (1, B, tile) outputs and back/dmask accumulators are
+    (3, B, Hp) — one per gate, folded into the state cotangent with each
+    gate's own mask at j == J-1, exactly the algebra of the interleaved
+    variant but with zero host-side relayout.
+    """
+    t = pl.program_id(0)
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+    tile = ds_ref.shape[-1]
+
+    @pl.when(jnp.logical_and(t == 0, j == 0))
+    def _():
+        dh_scr[:] = jnp.zeros_like(dh_scr)
+        dmask_scr[:] = jnp.zeros_like(dmask_scr)
+
+    @pl.when(j == 0)
+    def _():
+        back_scr[:] = jnp.zeros_like(back_scr)
+
+    g = (ds_ref[0].astype(jnp.float32)
+         + dh_scr[:, pl.ds(j * tile, tile)])
+    hprev = hprev_full_ref[0, :, pl.ds(j * tile, tile)].astype(jnp.float32)
+    hn = hpn_ref[0].astype(jnp.float32)
+    r = jax.nn.sigmoid(xr_ref[0].astype(jnp.float32)
+                       + hpr_ref[0].astype(jnp.float32))
+    z = jax.nn.sigmoid(xz_ref[0].astype(jnp.float32)
+                       + hpz_ref[0].astype(jnp.float32))
+    n = jnp.tanh(xn_ref[0].astype(jnp.float32) + r * hn)
+
+    dn = g * (1.0 - z)
+    dsz = g * (hprev - n) * z * (1.0 - z)
+    dsn = dn * (1.0 - n * n)
+    dhn = dsn * r
+    dsr = dsn * hn * r * (1.0 - r)
+
+    dxr_ref[0] = dsr.astype(dxr_ref.dtype)
+    dxz_ref[0] = dsz.astype(dxz_ref.dtype)
+    dxn_ref[0] = dsn.astype(dxn_ref.dtype)
+    dhr_ref[0] = dsr.astype(dhr_ref.dtype)
+    dhz_ref[0] = dsz.astype(dhz_ref.dtype)
+    dhn_ref[0] = dhn.astype(dhn_ref.dtype)
+
+    for gi, part in enumerate((dsr, dsz, dhn)):
+        back_scr[gi] += jax.lax.dot_general(
+            part.astype(jnp.bfloat16), w_ref[gi],
+            (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
     dh_scr[:, pl.ds(j * tile, tile)] = g * z
 
     @pl.when(j == nj - 1)
     def _():
         hprev_full = hprev_full_ref[0].astype(jnp.float32)
-        if per_gate:
-            dh_new = dh_scr[:]
-            for gi in range(3):
-                dh_new = dh_new + back_scr[gi] * mask_ref[gi].astype(
-                    jnp.float32)
-                dmask_scr[gi] += back_scr[gi] * hprev_full
-            dh_scr[:] = dh_new
-        else:
-            back = back_scr[:]
-            mask = mask_ref[:].astype(jnp.float32)
-            dh_scr[:] = dh_scr[:] + back * mask
-            dmask_scr[:] = dmask_scr[:] + back * hprev_full
+        dh_new = dh_scr[:]
+        for gi in range(3):
+            dh_new = dh_new + back_scr[gi] * mask_ref[gi].astype(
+                jnp.float32)
+            dmask_scr[gi] += back_scr[gi] * hprev_full
+        dh_scr[:] = dh_new
 
     @pl.when(jnp.logical_and(t == pl.num_programs(0) - 1, j == nj - 1))
     def _():
@@ -314,11 +432,14 @@ def gru_bwd_pallas(w: jax.Array, xp: jax.Array, mask: jax.Array,
     ``(dxp (T,B,3Hp) bf16, dhprojs (T,B,3Hp) bf16, dmask (B,Hp) f32)`` —
     the weight/bias cotangents are cheaper as one big GEMM/sum outside.
     """
-    seq_len, batch, chp = xp.shape
-    hp = chp // 3
+    per_gate = mask.ndim == 3
+    if per_gate:
+        seq_len, batch, hp = xp[0].shape
+    else:
+        seq_len, batch, chp = xp.shape
+        hp = chp // 3
     tile = LANE
     grid = (seq_len, hp // tile)
-    per_gate = mask.ndim == 3
     acc_shape = (3, batch, hp) if per_gate else (batch, hp)
     h_prev = jnp.concatenate(
         [jnp.zeros((1, batch, hp), states.dtype), states[:-1]], axis=0)
@@ -326,33 +447,40 @@ def gru_bwd_pallas(w: jax.Array, xp: jax.Array, mask: jax.Array,
     rev_t3 = lambda t, j: (seq_len - 1 - t, 0, j)
     acc_map = ((lambda t, j: (0, 0, 0)) if per_gate
                else (lambda t, j: (0, 0)))
-    dxp, dhprojs, dmask = pl.pallas_call(
-        _bwd_kernel,
+    ds_spec = pl.BlockSpec((1, batch, tile), rev_t3,
+                           memory_space=pltpu.VMEM)
+    hprev_spec = pl.BlockSpec((1, batch, hp),
+                              lambda t, j: (seq_len - 1 - t, 0, 0),
+                              memory_space=pltpu.VMEM)
+    acc_spec = pl.BlockSpec(acc_shape, acc_map, memory_space=pltpu.VMEM)
+    acc_out = jax.ShapeDtypeStruct(acc_shape, jnp.float32)
+    slab_shape = jax.ShapeDtypeStruct((seq_len, batch, hp), jnp.bfloat16)
+    if per_gate:
+        w_spec = pl.BlockSpec((3, hp, tile), lambda t, j: (0, 0, j),
+                              memory_space=pltpu.VMEM)
+        in_specs = [ds_spec] + [ds_spec] * 6 + [hprev_spec, w_spec,
+                                                acc_spec]
+        out_specs = tuple([ds_spec] * 6) + (acc_spec,)
+        out_shape = tuple([slab_shape] * 6) + (acc_out,)
+        operands = (dstates, *xp, *hprojs, h_prev, w, mask)
+    else:
+        big_spec = pl.BlockSpec((1, batch, 3 * tile), rev_t3,
+                                memory_space=pltpu.VMEM)
+        w_spec = pl.BlockSpec((hp, 3 * tile), lambda t, j: (0, j),
+                              memory_space=pltpu.VMEM)
+        big_shape = jax.ShapeDtypeStruct((seq_len, batch, 3 * hp),
+                                         jnp.bfloat16)
+        in_specs = [ds_spec, big_spec, big_spec, hprev_spec, w_spec,
+                    acc_spec]
+        out_specs = (big_spec, big_spec, acc_spec)
+        out_shape = (big_shape, big_shape, acc_out)
+        operands = (dstates, xp, hprojs, h_prev, w, mask)
+    outs = pl.pallas_call(
+        _bwd_kernel_pg if per_gate else _bwd_kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, batch, tile), rev_t3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, batch, 3 * tile), rev_t3,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, batch, 3 * tile), rev_t3,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, batch, hp), lambda t, j: (seq_len - 1 - t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((hp, 3 * tile), lambda t, j: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(acc_shape, acc_map, memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, batch, 3 * tile), rev_t3,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, batch, 3 * tile), rev_t3,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(acc_shape, acc_map, memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((seq_len, batch, 3 * hp), jnp.bfloat16),
-            jax.ShapeDtypeStruct((seq_len, batch, 3 * hp), jnp.bfloat16),
-            jax.ShapeDtypeStruct(acc_shape, jnp.float32),
-        ),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((batch, hp), jnp.float32),   # dh carry
             pltpu.VMEM(acc_shape, jnp.float32),     # back accumulator(s)
@@ -363,26 +491,31 @@ def gru_bwd_pallas(w: jax.Array, xp: jax.Array, mask: jax.Array,
             vmem_limit_bytes=96 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=2 * seq_len * batch * hp * 3 * hp,
-            bytes_accessed=(3 * xp.size * xp.dtype.itemsize
-                            + seq_len * w.size * w.dtype.itemsize
-                            + 2 * xp.size * xp.dtype.itemsize),
+            bytes_accessed=(5 * seq_len * batch * hp * 3 * 2
+                            + seq_len * w.size * w.dtype.itemsize),
             transcendentals=3 * seq_len * batch * hp),
-    )(dstates, xp, hprojs, h_prev, w, mask)
+    )(*operands)
 
     if per_gate:
-        # per-gate weight cotangents: dw_g = (h_prev * mask_g)^T @ dhproj_g,
-        # reassembled into the interleaved (Hp, 3Hp) layout
-        dh4 = deinterleave_gates(
-            dhprojs.reshape(seq_len * batch, 3 * hp))  # (T*B, 3, Hp)
+        dxp, dhprojs, dmask = tuple(outs[:3]), outs[3:6], outs[6]
+        # per-gate weight cotangents on CONTIGUOUS gate-major slabs:
+        # dw_g = (h_prev * mask_g)^T @ dhproj_g, no deinterleave pass
         hp_f = h_prev.astype(jnp.float32)
         dws = []
+        db3 = []
         for g in range(3):
             h_in_g = (hp_f * mask[g][None].astype(jnp.float32)
                       ).reshape(seq_len * batch, hp)
-            dws.append(jnp.dot(h_in_g.astype(w.dtype).T, dh4[:, g],
-                               preferred_element_type=jnp.float32))
-        dw = interleave_gates(jnp.stack(dws, axis=-2))  # (Hp, 3Hp)
+            dws.append(jnp.dot(
+                h_in_g.astype(w.dtype).T,
+                dhprojs[g].reshape(seq_len * batch, hp),
+                preferred_element_type=jnp.float32))
+            db3.append(jnp.sum(dhprojs[g].astype(jnp.float32),
+                               axis=(0, 1)))
+        dw = jnp.stack(dws)  # (3, Hp, Hp) gate-major, matching w
+        db = jnp.stack(db3)[:, None]
     else:
+        dxp, dhprojs, dmask = outs
         # weight/bias cotangents: one (Hp, T·B) x (T·B, 3Hp) GEMM
         h_in = (h_prev.astype(jnp.float32)
                 * mask[None].astype(jnp.float32)
@@ -390,7 +523,7 @@ def gru_bwd_pallas(w: jax.Array, xp: jax.Array, mask: jax.Array,
         dw = jnp.dot(h_in.astype(w.dtype).T,
                      dhprojs.reshape(seq_len * batch, 3 * hp),
                      preferred_element_type=jnp.float32)
-    db = jnp.sum(dhprojs.astype(jnp.float32), axis=(0, 1))[None]
+        db = jnp.sum(dhprojs.astype(jnp.float32), axis=(0, 1))[None]
     return dw, db, dxp, dmask
 
 
@@ -398,19 +531,22 @@ def _bwd_scan(w, xp, mask, states, hprojs, dstates, unroll: int = 1):
     """XLA reverse scan over the kernel's bf16 residuals.
 
     Same gate algebra as ops.rnn._gru_core_bwd, working directly in the
-    interleaved column space (gate math is columnwise, so interleaving is
-    just a reshape to (B, J, 3, C)).  The per-step weight cotangent is NOT
-    accumulated in the carry — gate cotangents are stacked as scan outputs
-    and ``dw`` is one (Hp, T*B) x (T*B, 3Hp) GEMM afterwards.
+    interleaved column space for the shared-mask form (gate math is
+    columnwise, so interleaving is just a reshape to (B, J, 3, C)) and in
+    the gate-major (3, T, B, Hp) layout for per-gate masks.  The per-step
+    weight cotangent is NOT accumulated in the carry — gate cotangents are
+    stacked as scan outputs and ``dw`` is a (Hp, T*B) x (T*B, ...) GEMM
+    afterwards.
     """
+    per_gate = mask.ndim == 3
+    if per_gate:
+        return _bwd_scan_pg(w, xp, mask, states, hprojs, dstates, unroll)
     seq_len, batch, chp = xp.shape
     hp = chp // 3
     j, c = hp // LANE, LANE
-    per_gate = mask.ndim == 3
     h_prev = jnp.concatenate(
         [jnp.zeros((1, batch, hp), states.dtype), states[:-1]], axis=0)
     w_t = jnp.swapaxes(w, 0, 1)  # (3Hp, Hp) bf16, interleaved rows
-    w3 = deinterleave_gates(w)   # (Hp, 3, Hp) for the per-gate variant
 
     def gates4(x):  # (B, 3Hp) interleaved -> (B, J, 3, C)
         return x.reshape(batch, j, 3, c)
@@ -436,51 +572,93 @@ def _bwd_scan(w, xp, mask, states, hprojs, dstates, unroll: int = 1):
         g_flat = g.reshape(batch, hp)
         z_flat = z.reshape(batch, hp)
         hprev_flat = hprev4.reshape(batch, hp)
-        if per_gate:
-            dh_new = g_flat * z_flat
-            dmask_parts = []
-            for gi, part in enumerate((dsr, dsz, dhn)):
-                back_g = jax.lax.dot_general(
-                    part.reshape(batch, hp).astype(w3.dtype), w3[:, gi],
-                    (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                dh_new = dh_new + back_g * mask[gi]
-                dmask_parts.append(back_g * hprev_flat)
-            dmask = dmask + jnp.stack(dmask_parts)
-        else:
-            back = jnp.dot(dh_proj.astype(w_t.dtype), w_t,
-                           preferred_element_type=jnp.float32)
-            dh_new = g_flat * z_flat + back * mask
-            dmask = dmask + back * hprev_flat
+        back = jnp.dot(dh_proj.astype(w_t.dtype), w_t,
+                       preferred_element_type=jnp.float32)
+        dh_new = g_flat * z_flat + back * mask
+        dmask = dmask + back * hprev_flat
         return (dh_new, dmask), (dx_proj, dh_proj)
 
     (dh0, dmask), (dx_proj, dh_projs) = jax.lax.scan(
         step,
         (jnp.zeros((batch, hp), jnp.float32),
-         jnp.zeros(((3, batch, hp) if per_gate else (batch, hp)),
-                   jnp.float32)),
+         jnp.zeros((batch, hp), jnp.float32)),
         (dstates, xp, hprojs, h_prev), reverse=True, unroll=unroll)
 
-    if per_gate:
-        dh4 = deinterleave_gates(
-            dh_projs.reshape(seq_len * batch, 3 * hp))  # (T*B, 3, Hp)
-        hp_f = h_prev.astype(jnp.float32)
-        dws = []
-        for g in range(3):
-            h_in_g = (hp_f * mask[g][None]).reshape(seq_len * batch, hp)
-            dws.append(jnp.dot(h_in_g.astype(w.dtype).T,
-                               dh4[:, g].astype(w.dtype),
-                               preferred_element_type=jnp.float32))
-        dw = interleave_gates(jnp.stack(dws, axis=-2))
-    else:
-        h_in = (h_prev.astype(jnp.float32)
-                * mask[None]).reshape(seq_len * batch, hp)
-        dw = jnp.dot(h_in.astype(w.dtype).T,
-                     dh_projs.reshape(seq_len * batch,
-                                      3 * hp).astype(w.dtype),
-                     preferred_element_type=jnp.float32)
+    h_in = (h_prev.astype(jnp.float32)
+            * mask[None]).reshape(seq_len * batch, hp)
+    dw = jnp.dot(h_in.astype(w.dtype).T,
+                 dh_projs.reshape(seq_len * batch,
+                                  3 * hp).astype(w.dtype),
+                 preferred_element_type=jnp.float32)
     db = jnp.sum(dh_projs, axis=(0, 1))[None]
     return dw, db, dx_proj.astype(xp.dtype), dmask
+
+
+def _bwd_scan_pg(w3, xp3, mask, states, hprojs3, dstates, unroll: int = 1):
+    """Gate-major per-gate-mask reverse scan (fallback for _bwd_kernel_pg).
+
+    ``w3`` (3, Hp, Hp), ``xp3``/``hprojs3`` as (xr, xz, xn) tuples of
+    (T, B, Hp), ``mask`` (3, B, Hp).  Returns dw (3, Hp, Hp), db
+    (3, 1, Hp), dxp as a matching tuple, dmask (3, B, Hp).
+    """
+    xp3 = jnp.stack(xp3)
+    hprojs3 = jnp.stack(hprojs3)
+    _, seq_len, batch, hp = xp3.shape
+    h_prev = jnp.concatenate(
+        [jnp.zeros((1, batch, hp), states.dtype), states[:-1]], axis=0)
+
+    def step(carry, inp):
+        dh, dmask = carry
+        ds_t, xp_t, hp_t, hprev_t = inp  # xp_t/hp_t: (3, B, Hp)
+        g = ds_t + dh
+        xpf = xp_t.astype(jnp.float32)
+        hpf = hp_t.astype(jnp.float32)
+        hprev_f = hprev_t.astype(jnp.float32)
+        r = jax.nn.sigmoid(xpf[0] + hpf[0])
+        z = jax.nn.sigmoid(xpf[1] + hpf[1])
+        hn = hpf[2]
+        n = jnp.tanh(xpf[2] + r * hn)
+        dn = g * (1.0 - z)
+        dsz = g * (hprev_f - n) * z * (1.0 - z)
+        dsn = dn * (1.0 - n * n)
+        dhn = dsn * r
+        dsr = dsn * hn * r * (1.0 - r)
+        dh_new = g * z
+        dmask_parts = []
+        for gi, part in enumerate((dsr, dsz, dhn)):
+            back_g = jax.lax.dot_general(
+                part.astype(w3.dtype), w3[gi],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dh_new = dh_new + back_g * mask[gi]
+            dmask_parts.append(back_g * hprev_f)
+        dmask = dmask + jnp.stack(dmask_parts)
+        dx_proj = jnp.stack([dsr, dsz, dsn])
+        dh_proj = jnp.stack([dsr, dsz, dhn])
+        return (dh_new, dmask), (dx_proj, dh_proj)
+
+    (dh0, dmask), (dx_proj, dh_projs) = jax.lax.scan(
+        step,
+        (jnp.zeros((batch, hp), jnp.float32),
+         jnp.zeros((3, batch, hp), jnp.float32)),
+        (dstates, jnp.swapaxes(xp3, 0, 1), jnp.swapaxes(hprojs3, 0, 1),
+         h_prev), reverse=True, unroll=unroll)
+    # scan stacks per-step outputs time-major: (T, 3, B, Hp) -> gate-major
+    dx_proj = jnp.swapaxes(dx_proj, 0, 1)
+    dh_projs = jnp.swapaxes(dh_projs, 0, 1)
+
+    hp_f = h_prev.astype(jnp.float32)
+    dws = []
+    for g in range(3):
+        h_in_g = (hp_f * mask[g][None]).reshape(seq_len * batch, hp)
+        dws.append(jnp.dot(h_in_g.astype(w3.dtype).T,
+                           dh_projs[g].reshape(seq_len * batch,
+                                               hp).astype(w3.dtype),
+                           preferred_element_type=jnp.float32))
+    dw = jnp.stack(dws)
+    db = jnp.sum(dh_projs, axis=(1, 2))[:, None]
+    dx_proj = dx_proj.astype(xp3.dtype)
+    return dw, db, (dx_proj[0], dx_proj[1], dx_proj[2]), dmask
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))

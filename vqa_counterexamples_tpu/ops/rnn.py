@@ -151,15 +151,18 @@ def _pad_gates(w: jax.Array, dim_h: int, pad_h: int) -> jax.Array:
 
 def _per_gate_x_proj(params: "GRUParams", x: jax.Array,
                      mask_x3: jax.Array) -> jax.Array:
-    """Per-gate masked input projections -> kernel layout (T, B, 3Hp) bf16.
+    """Per-gate masked input projections -> (xr, xz, xn) tuple of (T, B, Hp).
 
     Three (T*B, D) x (D, Hp) GEMMs — one per gate, each with its own
-    variational input mask — stacked and gate-interleaved.  Same total
-    FLOPs as the fused (T*B, D) x (D, 3Hp) GEMM of the shared-mask path;
-    the interleave is one extra relayout pass of the projection stack.
+    variational input mask — each writing a CONTIGUOUS gate slab.  Same
+    total FLOPs as the fused (T*B, D) x (D, 3Hp) GEMM of the shared-mask
+    path, and no gate-interleave relayout: the earlier interleaved form
+    measured ~5.3 ms/step of pure layout churn at reference dims (xplane,
+    2026-08-21) — the per-gate kernels now take gate-major blocks
+    directly (gru_kernel._fwd_kernel_pg).
     """
     from ..core.policy import cast_in
-    from .pallas.gru_kernel import LANE, interleave_gates
+    from .pallas.gru_kernel import LANE
 
     batch, seq_len, dim_in = x.shape
     dim_h = params.w_hh.shape[0]
@@ -174,9 +177,12 @@ def _per_gate_x_proj(params: "GRUParams", x: jax.Array,
         xg = xt * jnp.tile(mx[:, g], (seq_len, 1))
         xc, wg = cast_in(xg, w3[:, g])
         pg = jnp.dot(xc, wg, preferred_element_type=jnp.float32) + b3[g]
-        projs.append(jnp.pad(pg, ((0, 0), (0, pad_h))).astype(jnp.bfloat16))
-    xp = interleave_gates(jnp.stack(projs, axis=-2))  # (T*B, 3Hp)
-    return xp.reshape(seq_len, batch, 3 * hp)
+        projs.append(jnp.pad(pg, ((0, 0), (0, pad_h))).astype(jnp.bfloat16)
+                     .reshape(seq_len, batch, hp))
+    # a (xr, xz, xn) TUPLE, not a stacked (3,T,B,Hp) array: the kernels
+    # take the three slabs as separate operands, and the stack/unstack
+    # pair alone measured ~1.3 ms/step at reference dims
+    return tuple(projs)
 
 
 def _gru_scan_per_gate(params: "GRUParams", x: jax.Array, mask_x3: jax.Array,
@@ -232,9 +238,12 @@ def _gru_pallas_path(params: "GRUParams", xt: jax.Array | None,
     lane multiple happens on the *weights* so the input projection lands
     directly in the kernel's (T, B, 3, Hp) layout with zero pad columns —
     no post-GEMM pad copy of the 191 MB projection stack.  Callers with
-    per-gate input masks pass a precomputed ``x_proj`` (T, B, 3Hp)
-    instead (``_per_gate_x_proj``); a 3-axis ``mask_h`` (3, B, H) selects
-    the kernels' per-gate recurrent-mask variant.
+    per-gate input masks pass a precomputed gate-major ``x_proj``
+    — a (xr, xz, xn) tuple of (T, B, Hp) slabs — instead
+    (``_per_gate_x_proj``); a 3-axis ``mask_h``
+    (3, B, H) selects the kernels' gate-major per-gate variant (the
+    recurrent weights/bias are then passed gate-major (3, Hp, Hp) /
+    (3, 1, Hp) too — no interleaving anywhere on the per-gate path).
     """
     from ..core.policy import cast_in
     from .pallas.gru_kernel import LANE, gru_recurrence_pallas
@@ -242,6 +251,7 @@ def _gru_pallas_path(params: "GRUParams", xt: jax.Array | None,
     dim_h = params.w_hh.shape[0]
     hp = ((dim_h + LANE - 1) // LANE) * LANE
     pad_h = hp - dim_h
+    per_gate = mask_h is not None and mask_h.ndim == 3
 
     if x_proj is None:
         seq_len, batch, _ = xt.shape
@@ -251,9 +261,19 @@ def _gru_pallas_path(params: "GRUParams", xt: jax.Array | None,
         x_proj = (jnp.dot(xc, wp, preferred_element_type=jnp.float32) + b_ih)
         x_proj = x_proj.reshape(seq_len, batch, 3 * hp).astype(jnp.bfloat16)
     else:
-        seq_len, batch = x_proj.shape[:2]
-    w_hh = jnp.pad(_pad_gates(params.w_hh, dim_h, pad_h), ((0, pad_h), (0, 0)))
-    b_hh = _pad_gates(params.b_hh, dim_h, pad_h)[None]  # (1, 3Hp) f32
+        seq_len, batch = (x_proj[0].shape[:2] if per_gate
+                          else x_proj.shape[:2])
+    if per_gate:
+        # gate-major recurrent weights (3, Hp, Hp) and bias (3, 1, Hp)
+        w_hh = jnp.pad(params.w_hh.reshape(dim_h, 3, dim_h),
+                       ((0, pad_h), (0, 0), (0, pad_h)))
+        w_hh = jnp.swapaxes(w_hh, 0, 1)
+        b_hh = jnp.pad(params.b_hh.reshape(3, dim_h),
+                       ((0, 0), (0, pad_h)))[:, None]
+    else:
+        w_hh = jnp.pad(_pad_gates(params.w_hh, dim_h, pad_h),
+                       ((0, pad_h), (0, 0)))
+        b_hh = _pad_gates(params.b_hh, dim_h, pad_h)[None]  # (1, 3Hp) f32
 
     if mask_h is None:
         mask = jnp.ones((batch, hp), jnp.bfloat16)
@@ -286,11 +306,16 @@ def _gru_pallas_path(params: "GRUParams", xt: jax.Array | None,
     chunk = ((-(-batch // n_chunks) + 7) // 8) * 8  # sublane multiple
     pb = n_chunks * chunk
     if pb != batch:
-        x_proj = jnp.pad(x_proj, ((0, 0), (0, pb - batch), (0, 0)))
+        bpad_x = [(0, 0), (0, pb - batch), (0, 0)]
+        x_proj = (tuple(jnp.pad(x, bpad_x) for x in x_proj) if per_gate
+                  else jnp.pad(x_proj, bpad_x))
         bpad = [(0, 0)] * (mask.ndim - 2) + [(0, pb - batch), (0, 0)]
         mask = jnp.pad(mask, bpad)
+    xslc = ((lambda i: tuple(x[:, i * chunk:(i + 1) * chunk]
+                             for x in x_proj)) if per_gate
+            else (lambda i: x_proj[:, i * chunk:(i + 1) * chunk]))
     outs = [gru_recurrence_pallas(
-        w_hh, b_hh, x_proj[:, i * chunk:(i + 1) * chunk],
+        w_hh, b_hh, xslc(i),
         mask[..., i * chunk:(i + 1) * chunk, :], interpret, bwd_pallas)
         for i in range(n_chunks)]
     return jnp.concatenate(outs, axis=1)[:, :batch, :dim_h]
