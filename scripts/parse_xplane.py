@@ -232,7 +232,8 @@ def report(trace_dir: str, top: int = 30):
                 evm[int(key)] = (vname if isinstance(vname, str)
                                  else "op_%s" % key)
         for line_ in p.get(3, []):  # XPlane.lines
-            lname = line_.get(2, [""])[0]
+            lraw = _first(line_, 2)
+            lname = lraw if isinstance(lraw, str) else ""
             totals, counts = collections.Counter(), collections.Counter()
             for ev in line_.get(4, []):  # XLine.events
                 if not isinstance(ev, dict):

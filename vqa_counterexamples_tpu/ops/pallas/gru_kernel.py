@@ -26,8 +26,11 @@ and the whole timestep-column-tile is ONE (B, Hp) x (Hp, 384) MXU matmul.
 (A (·, 3, C) trailing block shape would pad the 3 up to the bf16 sublane
 tile of 16: the weight block alone then costs 10 MB of VMEM instead of
 1.9 MB — the layout is the difference between fitting and OOM.)
-``interleave_gates``/``deinterleave_gates`` convert; the backward scan
-works directly in the interleaved space (gate math is columnwise).
+``interleave_gates`` converts; the backward scan works directly in the
+interleaved space (gate math is columnwise).  The per-gate-mask variant
+(BayesianUniSkip's six independent masks) does NOT interleave: its
+tensors pass gate-major as separate (T, B, Hp) slabs per gate — see
+``_fwd_kernel_pg`` for the measured reasons.
 
 Grid: ``(T, J)`` with the column-tile axis innermost.  At ``j == 0`` the
 kernel snapshots ``h_in = h * mask`` (variational dropout applies the same
@@ -91,13 +94,6 @@ def interleave_gates(w3: jax.Array, tile: int = LANE) -> jax.Array:
             .swapaxes(-3, -2).reshape(*lead, 3 * hp))
 
 
-def deinterleave_gates(w: jax.Array, tile: int = LANE) -> jax.Array:
-    """Inverse of :func:`interleave_gates`: (..., 3*Hp) -> (..., 3, Hp)."""
-    *lead, chp = w.shape
-    hp = chp // 3
-    j = hp // tile
-    return (w.reshape(*lead, j, 3, tile)
-            .swapaxes(-3, -2).reshape(*lead, 3, hp))
 
 
 def _fwd_kernel(xp_ref, w_ref, b_ref, mask_ref, states_ref, hproj_ref,
@@ -427,10 +423,14 @@ def gru_bwd_pallas(w: jax.Array, xp: jax.Array, mask: jax.Array,
                    dstates: jax.Array, interpret: bool = False):
     """Fused reverse sweep over the forward kernel's residuals (h0 = 0).
 
-    Args mirror :func:`gru_fwd_pallas` (padded, gate-interleaved) plus the
-    forward outputs and the state cotangent stack.  Returns
-    ``(dxp (T,B,3Hp) bf16, dhprojs (T,B,3Hp) bf16, dmask (B,Hp) f32)`` —
-    the weight/bias cotangents are cheaper as one big GEMM/sum outside.
+    Args mirror :func:`gru_fwd_pallas` — shared-mask: interleaved ``w``
+    (Hp, 3Hp) / ``xp``/``hprojs`` (T, B, 3Hp); per-gate (3-D mask):
+    gate-major ``w`` (3, Hp, Hp) / ``xp``/``hprojs`` as (r, z, n) tuples
+    of (T, B, Hp) — plus the state cotangent stack.  Returns
+    ``(dw, db, dxp, dmask)`` with each cotangent shaped like its primal
+    (``dxp`` a matching tuple and ``dmask`` (3, B, Hp) in the per-gate
+    variant); the gate-cotangent stacks the weight GEMMs consume are
+    kernel outputs folded into ``dw``/``db`` here.
     """
     per_gate = mask.ndim == 3
     if per_gate:
@@ -599,20 +599,20 @@ def _bwd_scan_pg(w3, xp3, mask, states, hprojs3, dstates, unroll: int = 1):
 
     ``w3`` (3, Hp, Hp), ``xp3``/``hprojs3`` as (xr, xz, xn) tuples of
     (T, B, Hp), ``mask`` (3, B, Hp).  Returns dw (3, Hp, Hp), db
-    (3, 1, Hp), dxp as a matching tuple, dmask (3, B, Hp).
+    (3, 1, Hp), dxp as a matching tuple, dmask (3, B, Hp).  The tuples
+    ride through ``lax.scan`` as pytree leaves — no stacked (3,T,B,Hp)
+    rematerialization of the residuals on this fallback path either.
     """
-    xp3 = jnp.stack(xp3)
-    hprojs3 = jnp.stack(hprojs3)
-    _, seq_len, batch, hp = xp3.shape
+    seq_len, batch, hp = xp3[0].shape
     h_prev = jnp.concatenate(
         [jnp.zeros((1, batch, hp), states.dtype), states[:-1]], axis=0)
 
     def step(carry, inp):
         dh, dmask = carry
-        ds_t, xp_t, hp_t, hprev_t = inp  # xp_t/hp_t: (3, B, Hp)
+        ds_t, xp_t, hp_t, hprev_t = inp  # xp_t/hp_t: (xr, xz, xn) tuples
         g = ds_t + dh
-        xpf = xp_t.astype(jnp.float32)
-        hpf = hp_t.astype(jnp.float32)
+        xpf = tuple(x.astype(jnp.float32) for x in xp_t)
+        hpf = tuple(h.astype(jnp.float32) for h in hp_t)
         hprev_f = hprev_t.astype(jnp.float32)
         r = jax.nn.sigmoid(xpf[0] + hpf[0])
         z = jax.nn.sigmoid(xpf[1] + hpf[1])
@@ -633,32 +633,29 @@ def _bwd_scan_pg(w3, xp3, mask, states, hprojs3, dstates, unroll: int = 1):
             dh_new = dh_new + back_g * mask[gi]
             dmask_parts.append(back_g * hprev_f)
         dmask = dmask + jnp.stack(dmask_parts)
-        dx_proj = jnp.stack([dsr, dsz, dsn])
-        dh_proj = jnp.stack([dsr, dsz, dhn])
-        return (dh_new, dmask), (dx_proj, dh_proj)
+        return (dh_new, dmask), ((dsr, dsz, dsn), (dsr, dsz, dhn))
 
     (dh0, dmask), (dx_proj, dh_projs) = jax.lax.scan(
         step,
         (jnp.zeros((batch, hp), jnp.float32),
          jnp.zeros((3, batch, hp), jnp.float32)),
-        (dstates, jnp.swapaxes(xp3, 0, 1), jnp.swapaxes(hprojs3, 0, 1),
-         h_prev), reverse=True, unroll=unroll)
-    # scan stacks per-step outputs time-major: (T, 3, B, Hp) -> gate-major
-    dx_proj = jnp.swapaxes(dx_proj, 0, 1)
-    dh_projs = jnp.swapaxes(dh_projs, 0, 1)
+        (dstates, xp3, hprojs3, h_prev), reverse=True, unroll=unroll)
+    # scan stacks each pytree leaf time-major: tuples of (T, B, Hp)
 
     hp_f = h_prev.astype(jnp.float32)
     dws = []
+    db3 = []
     for g in range(3):
         h_in_g = (hp_f * mask[g][None]).reshape(seq_len * batch, hp)
         dws.append(jnp.dot(h_in_g.astype(w3.dtype).T,
                            dh_projs[g].reshape(seq_len * batch,
                                                hp).astype(w3.dtype),
                            preferred_element_type=jnp.float32))
+        db3.append(jnp.sum(dh_projs[g], axis=(0, 1)))
     dw = jnp.stack(dws)
-    db = jnp.sum(dh_projs, axis=(1, 2))[:, None]
-    dx_proj = dx_proj.astype(xp3.dtype)
-    return dw, db, (dx_proj[0], dx_proj[1], dx_proj[2]), dmask
+    db = jnp.stack(db3)[:, None]
+    dtype = xp3[0].dtype
+    return dw, db, tuple(dx.astype(dtype) for dx in dx_proj), dmask
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
@@ -668,11 +665,14 @@ def gru_recurrence_pallas(w: jax.Array, b: jax.Array, xp: jax.Array,
     """Differentiable fused recurrence on the padded interleaved domain
     (h0 = 0).
 
-    Returns the (T, B, Hp) bf16 state stack.  ``w`` (Hp, 3Hp) and ``xp``
-    (T, B, 3Hp) are gate-interleaved (see :func:`interleave_gates`) in the
-    compute dtype; ``b`` is (1, 3Hp) f32; ``mask`` is the variational
-    dropout mask — (B, Hp) shared across gates, or (3, B, Hp) with one
-    independent mask per gate (skip-thoughts.torch BayesianGRU semantics).
+    Returns the (T, B, Hp) bf16 state stack.  The ``mask`` rank selects
+    the layout contract: with a shared (B, Hp) mask, ``w`` (Hp, 3Hp) and
+    ``xp`` (T, B, 3Hp) are gate-interleaved (see
+    :func:`interleave_gates`) and ``b`` is (1, 3Hp) f32; with a
+    (3, B, Hp) per-gate mask (skip-thoughts.torch BayesianGRU
+    semantics), everything is gate-major — ``w`` (3, Hp, Hp), ``b``
+    (3, 1, Hp) f32, and ``xp`` an (xr, xz, xn) TUPLE of (T, B, Hp)
+    slabs (see :func:`_fwd_kernel_pg` for why no interleaving).
 
     ``bwd_pallas`` selects the backward implementation (fused kernel vs
     XLA reverse scan) as a static argument; ``None`` reads VQACX_GRU_BWD
