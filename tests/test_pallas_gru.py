@@ -350,3 +350,41 @@ def test_chunked_batch_matches_unchunked(monkeypatch):
                 atol=3e-2, rtol=3e-2, err_msg=name)
     finally:
         os.environ.pop("VQACX_GRU_PALLAS", None)
+
+
+def test_chunked_batch_matches_unchunked_per_gate(monkeypatch):
+    """The chunked-batch path also carries the gate-major per-gate
+    variant: the (xr, xz, xn) tuple and 3-axis mask slice per chunk and
+    states/grads match one kernel call (same rng -> same masks)."""
+    from vqa_counterexamples_tpu.core import policy
+    from vqa_counterexamples_tpu.ops.pallas import gru_kernel
+
+    params, x = _mk(batch=20, seq=4, dim_in=10, dim_h=16, seed=8)
+    key = jax.random.key(21)
+    os.environ["VQACX_GRU_PALLAS"] = "interpret"
+    try:
+        with policy.compute_dtype_scope("bfloat16"):
+            def run(p):
+                return rnn.gru_scan(p, x, dropout=0.4, deterministic=False,
+                                    rng=key, per_gate_masks=True)
+
+            def loss(p):
+                return jnp.sum(run(p).astype(jnp.float32))
+
+            ref = run(params)
+            g_ref = jax.grad(loss)(params)
+
+            monkeypatch.setattr(gru_kernel, "MAX_BATCH", 8)  # 20 -> 3 chunks
+            got = run(params)
+            g_got = jax.grad(loss)(params)
+
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(ref, np.float32),
+                                   atol=1e-5, rtol=1e-5)
+        for name in ("w_ih", "b_ih", "w_hh", "b_hh"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(g_got, name), np.float32),
+                np.asarray(getattr(g_ref, name), np.float32),
+                atol=3e-2, rtol=3e-2, err_msg=name)
+    finally:
+        os.environ.pop("VQACX_GRU_PALLAS", None)
