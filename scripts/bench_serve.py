@@ -72,7 +72,7 @@ def main():
             {"params": kp, "dropout": kd},
             jnp.zeros((1, 2048), jnp.float32),
             jnp.zeros((1, 26), jnp.int32), deterministic=True)["params"]
-    vqa_params = jax.device_put(vqa_params)  # uncommitted (see cx_engine)
+    vqa_params = policy.device_put_contiguous(vqa_params)
     _note("vqa params ready")
     cnn = convnets.factory({"arch": "fbresnet152", "pooling": False})
     cnn_params = convnets.init_resnet(cnn, image_size=448)

@@ -227,3 +227,24 @@ def test_init_cx_state_runs_under_host_scope(monkeypatch):
     assert jax.tree_util.tree_all(
         jax.tree_util.tree_map(
             lambda x: bool(np.all(np.isfinite(np.asarray(x)))), state.params))
+
+
+def test_device_put_contiguous_normalizes_transposed_leaves():
+    """Non-contiguous (transposed) host leaves must upload normalized:
+    device_put of a transposed leaf keeps the transposed on-device layout
+    and every jit call taking it pays a per-call relayout (measured
+    2520 -> 11.4 ms/call on the serve predict, 2026-08-21)."""
+    import numpy as np
+
+    from vqa_counterexamples_tpu.core import policy
+
+    base = np.arange(12, dtype=np.float32).reshape(3, 4)
+    tree = {"w": base.T, "b": np.ones((4,), np.float32), "s": 2.0}
+    assert not tree["w"].flags["C_CONTIGUOUS"]
+    out = policy.device_put_contiguous(tree)
+    np.testing.assert_array_equal(np.asarray(out["w"]), base.T)
+    np.testing.assert_array_equal(np.asarray(out["b"]), tree["b"])
+    assert float(out["s"]) == 2.0
+    # idempotent on already-device trees
+    out2 = policy.device_put_contiguous(out)
+    np.testing.assert_array_equal(np.asarray(out2["w"]), base.T)

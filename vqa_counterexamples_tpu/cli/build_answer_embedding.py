@@ -90,7 +90,8 @@ def main(argv=None):
             {"params": jax.random.key(0), "dropout": jax.random.key(1)},
             jnp.zeros((1, dim_v)), jnp.zeros((1, maxlength), jnp.int32),
             deterministic=True)["params"]
-    params = jax.device_put(params)  # uncommitted (see engines/cx_engine)
+    from ..core.policy import device_put_contiguous
+    params = device_put_contiguous(params)
     if args.dir_logs:
         _, loaded, _ = ckpt_lib.load_vqa_checkpoint(
             params, None, os.path.join(args.dir_logs, "best"))

@@ -113,6 +113,13 @@ def main(argv=None, stats=None):
         print("=> Mesh %s over %d devices"
               % (dict(zip(mesh.axis_names, mesh.devices.shape)),
                  mesh.devices.size))
+    else:
+        # normalized upload: torch-ported trees hold transposed leaves,
+        # and a non-contiguous leaf device_put as-is costs a per-call
+        # relayout (core/policy.device_put_contiguous)
+        from ..core.policy import device_put_contiguous
+
+        params = device_put_contiguous(params)
 
     # params enter as an argument, not a closure: closed-over params become
     # compile-time constants, bloating persistent-cache entries with the

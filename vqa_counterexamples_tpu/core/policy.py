@@ -86,6 +86,36 @@ def host_init_scope():
         _host_init = prev
 
 
+def device_put_contiguous(tree):
+    """``jax.device_put`` (uncommitted) with row-major-normalized leaves.
+
+    Host-side init and torch-port trees can hold TRANSPOSED
+    (non-contiguous) leaves — e.g. an embedding built via ``.T`` inside
+    eager CPU init.  ``device_put`` of such a leaf lands it on device
+    with the transposed layout, and every jit call taking that operand
+    then pays a per-call input relayout that on the tunneled runtime is
+    host-mediated: the serve predict at B=1 measured **2520 ms/call with
+    an as-is tree vs 11.4 ms with normalized leaves** (2026-08-21,
+    identical values — the entire 220x was layout relayout round-trips,
+    while device busy time was ~5 ms either way).  Training paths dodge
+    this by accident (params become jit outputs after the first step);
+    inference-only paths (serving, answer-embedding build, extraction
+    with ported weights) keep the original leaves forever and MUST
+    normalize.  Uncommitted like a bare device_put — committed operands
+    change jit dispatch keys (see ``dispatch_safe``).
+    """
+    import numpy as np
+
+    def clean(a):
+        if hasattr(a, "shape") and hasattr(a, "dtype") and a.shape != ():
+            return np.ascontiguousarray(np.asarray(a))
+        return a
+
+    import jax
+
+    return jax.device_put(jax.tree.map(clean, tree))
+
+
 def cast_in(*arrays):
     """Cast matmul operands to the policy dtype (no-op under f32)."""
     dt = _compute_dtype

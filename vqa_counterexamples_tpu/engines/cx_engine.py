@@ -95,7 +95,7 @@ def init_cx_state(model, optimizer, example_batch: dict, features,
     # which turned every downstream precompute/train program into a fresh
     # remote compile (A/B 2026-08-19: cache 97.8 s vs 7.4 s, train 22.1k
     # vs 599.8k ex/s on identical param values)
-    params = jax.device_put(variables.get("params", {}))
+    params = policy.device_put_contiguous(variables.get("params", {}))
     trainable, _ = split_params(params, frozen_param_keys(model))
     opt_state = optimizer.init(trainable) if optimizer is not None else None
     return CXTrainState(params=params, opt_state=opt_state,

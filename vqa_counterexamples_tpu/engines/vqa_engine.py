@@ -44,7 +44,8 @@ def init_vqa_state(model, optimizer, example_batch: dict,
                                deterministic=True)
     # no explicit device: committed params change jit dispatch keys and
     # force downstream recompiles (see cx_engine.init_cx_state)
-    params = jax.device_put(variables["params"])
+    from ..core.policy import device_put_contiguous
+    params = device_put_contiguous(variables["params"])
     opt_state = optimizer.init(params) if optimizer is not None else None
     return VQATrainState(params, opt_state, jnp.zeros((), jnp.int32))
 

@@ -110,7 +110,14 @@ class DemoEngine:
         # through the tunnel.  As an argument the weights live once in HBM
         # and every bucket executable is small.  Uncommitted transfer: a
         # committed operand changes jit dispatch keys (see core/policy).
-        self.cnn_params = jax.device_put(cnn_params)
+        # layout-normalized upload: a transposed (non-contiguous) leaf
+        # from host init / torch port costs a host-mediated relayout on
+        # EVERY predict call (measured 2520 -> 11.4 ms/call, core/policy)
+        from ..core.policy import device_put_contiguous
+
+        self.cnn_params = device_put_contiguous(cnn_params)
+        self.vqa_params = device_put_contiguous(self.vqa_params)
+        self._params_template = self.vqa_params
 
         def predict(vqa_params, cnn_params, images, wids):
             """Batched: images (N,H,W,3) uint8, wids (N,T) i32 -> top-5 + att.
@@ -138,6 +145,9 @@ class DemoEngine:
         self._predict = jax.jit(predict)
 
     def set_params(self, vqa_params) -> None:
+        from ..core.policy import device_put_contiguous
+
+        vqa_params = device_put_contiguous(vqa_params)
         with self._lock:
             self.vqa_params = vqa_params
 
@@ -553,7 +563,7 @@ def main(argv=None):
             {"params": jax.random.key(0), "dropout": jax.random.key(1)},
             dummy_v, jnp.zeros((1, options["vqa"]["maxlength"]), jnp.int32),
             deterministic=True)["params"]
-    vqa_params = jax.device_put(vqa_params)  # uncommitted (see core/policy)
+    vqa_params = policy.device_put_contiguous(vqa_params)
     if args.dir_logs:
         _, loaded, _ = ckpt_lib.load_vqa_checkpoint(
             vqa_params, None, os.path.join(args.dir_logs, "best"))
