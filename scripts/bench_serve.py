@@ -112,18 +112,20 @@ def main():
         dt = (time.time() - t0) / 5
         out["batch%d_items_per_sec" % bs] = round(bs / dt, 1)
 
-    # Concurrent load, micro-batcher ON vs OFF (VERDICT r2 #8): N client
-    # threads each issuing M sequential requests, per-request latency
-    # recorded.  OFF = each thread calls engine.answer directly, requests
-    # serialize on the device one-by-one (the reference's single-threaded
-    # WSGI behavior, demo_server.py:169-171); ON = requests funnel through
-    # MicroBatcher.submit, which coalesces concurrent arrivals into one
-    # device call per bucket.
+    # Concurrent load across the three serving policies (VERDICT r4 #3):
+    # N client threads each issuing M sequential requests, per-request
+    # latency recorded.  direct = each thread calls engine.answer,
+    # requests serialize on the device one-by-one (the reference's
+    # single-threaded WSGI behavior, demo_server.py:169-171); adaptive =
+    # the DEFAULT MicroBatcher (immediate dispatch when idle, coalesce
+    # only in-flight-queued arrivals); window = the legacy fixed 4 ms
+    # hold SERVE_r04 measured slower than direct at 16 clients.
     import threading
 
     from vqa_counterexamples_tpu.serve.demo_server import MicroBatcher
 
-    batcher = MicroBatcher(engine, max_wait_ms=4.0)
+    adaptive = MicroBatcher(engine)
+    window = MicroBatcher(engine, max_wait_ms=4.0, adaptive=False)
     n_clients = int(os.environ.get("VQACX_SERVE_CLIENTS", "16"))
     m_requests = int(os.environ.get("VQACX_SERVE_REQUESTS", "8"))
 
@@ -156,10 +158,23 @@ def main():
     # inside the measured window would bias the batched arm vs the
     # fully-warm direct arm
     _note("warming batcher plumbing")
-    batcher.submit(req)  # warm the batcher plumbing itself
+    adaptive.submit(req)  # warm the batcher plumbing itself
+    window.submit(req)
+    # lone-client latency through each policy: the adaptive batcher must
+    # add ~zero latency vs direct when the server is idle (the window
+    # batcher pays its hold on every request)
+    for tag, call in (("direct", lambda: engine.answer(b64, question)),
+                      ("adaptive", lambda: adaptive.submit(req)),
+                      ("window", lambda: window.submit(req))):
+        t0 = time.time()
+        for _ in range(args.requests):
+            call()
+        out["lone_%s_ms" % tag] = round(
+            (time.time() - t0) / args.requests * 1000, 1)
     _note("running concurrent load")
     for tag, call in (("direct", lambda: engine.answer(b64, question)),
-                      ("batched", lambda: batcher.submit(req))):
+                      ("adaptive", lambda: adaptive.submit(req)),
+                      ("batched", lambda: window.submit(req))):
         for k, v in run_load(call).items():
             out["concurrent_%s_%s" % (tag, k)] = v
     out["n_clients"] = n_clients

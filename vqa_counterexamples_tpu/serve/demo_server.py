@@ -227,9 +227,13 @@ class DemoEngine:
         return (self._decode_image(item["visual"]),
                 self.encode_question(item["question"]))
 
-    def predict_prepared(self, images, wids):
-        """(n, H, W, 3) uint8 + (n, T) i32 -> per-item (vals, idxs, att)
-        numpy rows, via ONE device call padded to a power-of-two bucket."""
+    def predict_prepared_async(self, images, wids):
+        """(n, H, W, 3) uint8 + (n, T) i32 -> (vals, idxs, att) DEVICE
+        arrays (lazily sliced back to n), via ONE device call padded to a
+        power-of-two bucket.  jax dispatch is asynchronous, so the caller
+        returns as soon as the program is enqueued — the MicroBatcher's
+        drain loop uses this to coalesce the NEXT batch while this one is
+        still executing; whoever needs host values pays the np.asarray."""
         import jax.numpy as jnp
         import numpy as np
 
@@ -246,8 +250,14 @@ class DemoEngine:
         vals, idxs, att = self._predict(params, self.cnn_params,
                                         jnp.asarray(images),
                                         jnp.asarray(wids))
-        return (np.asarray(vals)[:n], np.asarray(idxs)[:n],
-                np.asarray(att)[:n])
+        return vals[:n], idxs[:n], att[:n]
+
+    def predict_prepared(self, images, wids):
+        """Blocking variant: numpy rows after the device round-trip."""
+        import numpy as np
+
+        vals, idxs, att = self.predict_prepared_async(images, wids)
+        return np.asarray(vals), np.asarray(idxs), np.asarray(att)
 
     def format_result(self, vals, idxs, att) -> dict:
         """One item's device outputs -> the response dict (att maps as b64
@@ -341,20 +351,47 @@ class MicroBatcher:
     device call is shared.  The reference serves strictly one request per
     forward (demo_server.py:44-66).
 
-    A lone request pays at most ``max_wait_ms`` extra latency; a burst of
-    N pays one device call instead of N.  ``submit`` blocks until the
-    result row is ready and re-raises any batch-level failure in the
-    caller's thread.
+    Two coalescing policies:
+
+    * ``adaptive`` (default): a lone request dispatches IMMEDIATELY — the
+      loop only drains requests that are already queued (i.e. that arrived
+      while the previous device call was in flight).  The device-call
+      duration itself is the batching window: under sustained load arrivals
+      accumulate during ``_run`` and coalesce on the next drain, while an
+      idle server adds zero latency.  SERVE_r04.json measured the fixed
+      4 ms window SLOWER than direct dispatch at 16 clients (30.3 vs 39.0
+      items/s) — the window taxed every request to buy coalescing that
+      queuing pressure already provides for free.
+    * ``adaptive=False`` (legacy fixed window): hold each batch open for up
+      to ``max_wait_ms`` — every request, even on an idle server, pays up
+      to the window in extra latency.  Kept for A/B measurement
+      (scripts/bench_serve.py).
+
+    The device path is a two-stage pipeline: the drain loop coalesces a
+    batch and DISPATCHES it (``predict_prepared_async`` — jax dispatch is
+    asynchronous, so this returns as soon as the program is enqueued),
+    then immediately drains the next batch; a separate finisher thread
+    pays the one blocking device->host readback per batch and fans the
+    rows out.  Without the split, the drain loop blocks a full device
+    round-trip per batch and N direct-dispatch threads beat it by simply
+    overlapping their round-trips (measured: 51.3 vs 29.7 items/s at 16
+    clients on a tunneled v5e).
+
+    ``submit`` blocks until the result row is ready and re-raises any
+    batch-level failure in the caller's thread.
     """
 
     def __init__(self, engine: DemoEngine, max_batch: int = MAX_BATCH,
-                 max_wait_ms: float = 4.0, autostart: bool = True):
+                 max_wait_ms: float = 4.0, autostart: bool = True,
+                 adaptive: bool = True):
         import queue
 
         self.engine = engine
         self.max_batch = max_batch
         self.max_wait_s = max_wait_ms / 1000.0
+        self.adaptive = adaptive
         self._q = queue.Queue()
+        self._fq = queue.Queue()   # dispatched batches awaiting readback
         self._thread = None
         if autostart:
             self.start()
@@ -362,7 +399,10 @@ class MicroBatcher:
     def start(self) -> None:
         if self._thread is None:
             self._thread = threading.Thread(target=self._loop, daemon=True)
+            self._finisher = threading.Thread(target=self._finish_loop,
+                                              daemon=True)
             self._thread.start()
+            self._finisher.start()
 
     def pending(self) -> int:
         return self._q.qsize()
@@ -385,31 +425,59 @@ class MicroBatcher:
 
         while True:
             entries = [self._q.get()]
-            deadline = time.monotonic() + self.max_wait_s
-            while len(entries) < self.max_batch:
-                timeout = deadline - time.monotonic()
-                if timeout <= 0:
-                    break
-                try:
-                    entries.append(self._q.get(timeout=timeout))
-                except queue.Empty:
-                    break
+            if self.adaptive:
+                # drain only what is ALREADY queued — measured queuing
+                # pressure — and dispatch; no artificial wait
+                while len(entries) < self.max_batch:
+                    try:
+                        entries.append(self._q.get_nowait())
+                    except queue.Empty:
+                        break
+            else:
+                deadline = time.monotonic() + self.max_wait_s
+                while len(entries) < self.max_batch:
+                    timeout = deadline - time.monotonic()
+                    if timeout <= 0:
+                        break
+                    try:
+                        entries.append(self._q.get(timeout=timeout))
+                    except queue.Empty:
+                        break
             self._run(entries)
 
     def _run(self, entries: list) -> None:
+        """Coalesce + dispatch; the readback happens in ``_finish_loop``."""
         import numpy as np
 
         try:
             images = np.stack([e[0][0] for e in entries])
             wids = np.stack([e[0][1] for e in entries])
-            vals, idxs, att = self.engine.predict_prepared(images, wids)
-            for j, (_, done, slot) in enumerate(entries):
-                slot["row"] = (vals[j], idxs[j], att[j])
-                done.set()
+            outs = self.engine.predict_prepared_async(images, wids)
+            self._fq.put((outs, entries))
         except Exception as exc:  # noqa: BLE001 — re-raised in each caller
-            for _, done, slot in entries:
-                slot["error"] = exc
-                done.set()
+            self._fail(entries, exc)
+
+    def _finish_loop(self) -> None:
+        """One blocking device->host readback per dispatched batch, rows
+        fanned back out to the waiting request threads."""
+        import numpy as np
+
+        while True:
+            (vals, idxs, att), entries = self._fq.get()
+            try:
+                vals, idxs, att = (np.asarray(vals), np.asarray(idxs),
+                                   np.asarray(att))
+                for j, (_, done, slot) in enumerate(entries):
+                    slot["row"] = (vals[j], idxs[j], att[j])
+                    done.set()
+            except Exception as exc:  # noqa: BLE001 — re-raised per caller
+                self._fail(entries, exc)
+
+    @staticmethod
+    def _fail(entries: list, exc: Exception) -> None:
+        for _, done, slot in entries:
+            slot["error"] = exc
+            done.set()
 
 
 def make_handler(engine: DemoEngine, web_dir: str | None,
@@ -509,10 +577,21 @@ def main(argv=None):
                         help="processed dir with vocab pickles")
     parser.add_argument("--serve_web", action="store_true",
                         help="also serve the bundled demo_web client")
+    parser.add_argument("--batcher", default="adaptive",
+                        choices=["adaptive", "window", "off"],
+                        help="POST / coalescing policy: 'adaptive' (default) "
+                             "dispatches a lone request immediately and "
+                             "coalesces only requests that queued during the "
+                             "in-flight device call — it wins both the "
+                             "1-client and 16-client arms of "
+                             "scripts/bench_serve.py; 'window' is the legacy "
+                             "fixed --batch_window_ms hold (measured slower "
+                             "under load, SERVE_r04.json); 'off' serves one "
+                             "request per device call")
     parser.add_argument("--batch_window_ms", type=float, default=4.0,
-                        help="micro-batching window for POST /: concurrent "
-                             "single requests within this window coalesce "
-                             "into one device call (0 disables)")
+                        help="fixed coalescing window, used only with "
+                             "--batcher window (0 also disables the batcher, "
+                             "matching the pre-adaptive flag contract)")
     parser.add_argument("--prewarm", action="store_true",
                         help="compile EVERY batch bucket before serving "
                              "(concurrent compiles), so no request ever "
@@ -592,8 +671,10 @@ def main(argv=None):
 
     web_dir = (os.path.join(os.path.dirname(__file__), "demo_web")
                if args.serve_web else None)
-    batcher = (MicroBatcher(engine, max_wait_ms=args.batch_window_ms)
-               if args.batch_window_ms > 0 else None)
+    batcher = None
+    if args.batcher != "off" and args.batch_window_ms > 0:
+        batcher = MicroBatcher(engine, max_wait_ms=args.batch_window_ms,
+                               adaptive=args.batcher == "adaptive")
     server = ThreadingHTTPServer(
         (args.ip, args.port), make_handler(engine, web_dir, args.ckpt_root,
                                            batcher))
