@@ -168,7 +168,7 @@ def test_bwd_kernel_matches_bwd_scan():
             atol=3e-2, rtol=3e-2, err_msg=name)
 
 
-def _count_pallas_path(monkeypatch_dict):
+def _count_pallas_path():
     """Wrap rnn._gru_pallas_path with a call counter.  Returns (counter,
     restore_fn).  The dispatch tests MUST assert the kernel arm really
     took the kernel path: VQACX_COMPUTE_DTYPE set via os.environ after
@@ -193,7 +193,7 @@ def test_gru_scan_dispatch_parity():
     from vqa_counterexamples_tpu.core import policy
 
     params, x = _mk(batch=6, seq=5, dim_in=10, dim_h=24, seed=2)
-    counter, restore = _count_pallas_path(None)
+    counter, restore = _count_pallas_path()
     os.environ["VQACX_GRU_PALLAS"] = "interpret"
     try:
         with policy.compute_dtype_scope(jnp.bfloat16):
@@ -231,7 +231,7 @@ def test_gru_scan_per_gate_dispatch_parity():
 
     params, x = _mk(batch=6, seq=5, dim_in=10, dim_h=24, seed=5)
     key = jax.random.key(11)
-    counter, restore = _count_pallas_path(None)
+    counter, restore = _count_pallas_path()
 
     def loss(p, mode):
         os.environ["VQACX_GRU_PALLAS"] = mode

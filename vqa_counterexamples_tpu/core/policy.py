@@ -104,14 +104,32 @@ def device_put_contiguous(tree):
     normalize.  Uncommitted like a bare device_put — committed operands
     change jit dispatch keys (see ``dispatch_safe``).
     """
+    import jax
     import numpy as np
 
     def clean(a):
+        if isinstance(a, jax.Array) and not a.is_fully_replicated:
+            # a mesh-sharded leaf round-tripped through the host would
+            # silently lose its sharding — engines normalize BEFORE
+            # device_put'ing onto a mesh, so treat this as a misuse
+            raise ValueError(
+                "device_put_contiguous got a mesh-sharded leaf %s %s; "
+                "normalize before sharding" % (a.shape, a.sharding))
+        if isinstance(a, jax.Array) and \
+                next(iter(a.devices())).platform != "cpu":
+            # already on the accelerator: it got there through a device
+            # computation or an earlier normalized upload, so its layout
+            # is the compiler's own — re-gathering it to the host buys
+            # nothing (engine inits were re-downloading freshly
+            # initialized device params here, ADVICE r4).  CPU-resident
+            # arrays (host_init_scope outputs) still normalize: they are
+            # exactly the leaves the transposed-layout bug shipped in.
+            return a
         if hasattr(a, "shape") and hasattr(a, "dtype") and a.shape != ():
-            return np.ascontiguousarray(np.asarray(a))
+            arr = np.asarray(a)
+            return arr if arr.flags.c_contiguous \
+                else np.ascontiguousarray(arr)
         return a
-
-    import jax
 
     return jax.device_put(jax.tree.map(clean, tree))
 

@@ -94,8 +94,6 @@ def interleave_gates(w3: jax.Array, tile: int = LANE) -> jax.Array:
             .swapaxes(-3, -2).reshape(*lead, 3 * hp))
 
 
-
-
 def _fwd_kernel(xp_ref, w_ref, b_ref, mask_ref, states_ref, hproj_ref,
                 h_scr, hin_scr):
     t = pl.program_id(0)
@@ -269,9 +267,13 @@ def gru_fwd_pallas(xp: jax.Array, w: jax.Array, b: jax.Array,
             vmem_limit_bytes=64 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=2 * seq_len * batch * hp * 3 * hp,
+            # per-gate adds the three hproj output slabs plus (3, B, Hp)
+            # mask reads the shared variant doesn't touch (ADVICE r4)
             bytes_accessed=(3 * seq_len * batch * hp * 2
                             + seq_len * w.size * w.dtype.itemsize
-                            + seq_len * batch * hp * 2 * 4),
+                            + seq_len * batch * hp * 2 * 4
+                            + (seq_len * batch * hp * 3 * 2
+                               + 3 * batch * hp * 2 if per_gate else 0)),
             transcendentals=3 * seq_len * batch * hp),
     )(*operands)
     if per_gate:
@@ -491,8 +493,12 @@ def gru_bwd_pallas(w: jax.Array, xp: jax.Array, mask: jax.Array,
             vmem_limit_bytes=96 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=2 * seq_len * batch * hp * 3 * hp,
+            # per-gate: three dhproj output slabs + (3, B, Hp) mask reads
+            # on top of the shared variant's traffic (ADVICE r4)
             bytes_accessed=(5 * seq_len * batch * hp * 3 * 2
-                            + seq_len * w.size * w.dtype.itemsize),
+                            + seq_len * w.size * w.dtype.itemsize
+                            + (seq_len * batch * hp * 3 * 2
+                               + 3 * batch * hp * 2 if per_gate else 0)),
             transcendentals=3 * seq_len * batch * hp),
     )(*operands)
 
