@@ -67,9 +67,12 @@ coco:
 model:
   arch: MutanNoAtt
   seq2vec:
-    arch: 2-lstm
+    arch: skipthoughts
+    type: BayesianUniSkip
+    dropout: 0.25
+    fixed_emb: false
     emb_size: 8
-    hidden_size: 10
+    hidden_size: 20
   fusion:
     dim_v: 16
     dim_q: 20
