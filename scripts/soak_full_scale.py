@@ -136,6 +136,22 @@ def main():
         model, state.params, features, arrays, z_out_dtype=jnp.bfloat16)
     report["q_build_s"] = round(stage_s["q"], 1)
     report["z_build_s"] = round(stage_s["v"] + stage_s["z"], 1)
+    # compile-vs-compute decomposition (VERDICT r4 #4): each builder's
+    # first chunk pays trace+compile+first dispatch, the remaining chunks
+    # bound steady compute — measured inside this build (cx_engine.
+    # _stage_chunk_stats), so a reader can attribute e.g. SOAK_r04's
+    # 197.7 s q_build to fresh-cache compiles vs a cache-build regression
+    # without a second, memory-doubling warm rebuild.
+    overhead = 0.0
+    for stg in ("q", "v", "z"):
+        fc = stage_s.get(stg + "_first_chunk_s")
+        if fc is not None:
+            report["%s_first_chunk_s" % stg] = round(fc, 1)
+            report["%s_chunks" % stg] = stage_s[stg + "_chunks"]
+        overhead += stage_s.get(stg + "_compile_overhead_s", 0.0)
+    report["cache_compile_overhead_s"] = round(overhead, 1)
+    report["cache_build_compute_s"] = round(
+        stage_s["q"] + stage_s["v"] + stage_s["z"] - overhead, 1)
 
     features, q_table, _, z_table = cx_engine.make_tables_bf16_resident(
         features, q_table, None, z_table)

@@ -210,7 +210,13 @@ def test_build_frozen_caches_shared_recipe():
     q, v, z, stage_s = cx_engine.build_frozen_caches(
         model, state.params, features, arrays)
     assert v is None  # z subsumes v in the step
-    assert set(stage_s) == {"q", "v", "z"}  # v built as the z build aid
+    # base stages (chunk-stat keys like q_first_chunk_s ride alongside,
+    # cx_engine._stage_chunk_stats)
+    base = {k for k in stage_s if "_" not in k}
+    assert base == {"q", "v", "z"}  # v built as the z build aid
+    for stg in base:
+        assert stage_s[stg + "_chunks"] >= 1
+        assert 0.0 < stage_s[stg + "_first_chunk_s"] <= stage_s[stg]
     np.testing.assert_allclose(np.asarray(q), np.asarray(q_ref),
                                rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(np.asarray(z), np.asarray(z_ref),
@@ -219,7 +225,7 @@ def test_build_frozen_caches_shared_recipe():
     # v kept (and timed) when requested without z
     q2, v2, z2, stage2 = cx_engine.build_frozen_caches(
         model, state.params, features, arrays, use_v=True, use_z=False)
-    assert z2 is None and set(stage2) == {"q", "v"}
+    assert z2 is None and {k for k in stage2 if "_" not in k} == {"q", "v"}
     np.testing.assert_allclose(np.asarray(v2), np.asarray(v_ref),
                                rtol=1e-6, atol=1e-6)
 
