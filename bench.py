@@ -283,6 +283,12 @@ def main():
     nv = jnp.asarray(float(BATCH_SIZE), jnp.float32)
 
     window_rates = []  # examples/sec, one per measured window
+    windows_env = []   # cheap health stamp per window (VERDICT r4 #8)
+    try:
+        from env_health import collect_cheap
+    except Exception:  # noqa: BLE001
+        def collect_cheap():
+            return {}
     if scan_len:
         stacked = cx_engine.stack_batches(
             [batches[j % len(batches)] for j in range(scan_len)])
@@ -303,6 +309,7 @@ def main():
             hard_sync(state.params)
             window_rates.append(
                 BATCH_SIZE * n_dispatches * scan_len / (time.time() - t0))
+            windows_env.append(collect_cheap())
     else:
         # (measured dead end 2026-08-18: pinning every operand in
         # compiled.input_formats and calling the AOT executable directly —
@@ -322,6 +329,7 @@ def main():
             hard_sync(state.params)
             window_rates.append(
                 BATCH_SIZE * N_STEPS_PER_WINDOW / (time.time() - t0))
+            windows_env.append(collect_cheap())
 
     value = float(np.median(window_rates))
     n_chips = jax.device_count()
@@ -424,6 +432,9 @@ def main():
                           "(publishes no throughput; see BASELINE.md)"
                           % int(REFERENCE_BASELINE_EXAMPLES_PER_SEC),
         "windows": [round(r / max(n_chips, 1), 1) for r in window_rates],
+        # per-window cached-dispatch stamp, taken right after each window
+        # closes: attributes window spread to tunnel health mechanically
+        "windows_env": windows_env,
         "spread": spread,
         "mfu": mfu,
         "tflops_per_sec": tflops,

@@ -116,6 +116,15 @@ def main():
 
         try:
             rates = []
+            windows_env = []  # cheap per-window stamp (VERDICT r4 #8): on
+            # a 1-core decode-bound host a degraded window (EXTRACT_r04's
+            # 24.5 vs 43.5 img/s) is otherwise unattributable between
+            # tunnel throttling and decode variance
+            try:
+                from env_health import collect_cheap
+            except Exception:  # noqa: BLE001
+                def collect_cheap():
+                    return {}
             with ThreadPoolExecutor(max_workers=1) as pool:
                 out = forward_u8(params, decode(0))  # compile
                 hard_sync(out)
@@ -133,6 +142,7 @@ def main():
                     rates.append(args.batch * args.steps
                                  / (time.time() - t0))
                     future.result()
+                    windows_env.append(collect_cheap())
         finally:
             import shutil
 
@@ -142,6 +152,7 @@ def main():
             "value": round(float(np.median(rates)), 1),
             "unit": "images/sec (decode+device)",
             "windows": [round(r, 1) for r in rates],
+            "windows_env": windows_env,
             "spread": {"min": round(min(rates), 1),
                        "max": round(max(rates), 1),
                        "rel": round((max(rates) - min(rates))
@@ -164,12 +175,19 @@ def main():
     compile_s = time.time() - t0
 
     rates = []
+    windows_env = []  # cheap per-window stamp (VERDICT r4 #8)
+    try:
+        from env_health import collect_cheap
+    except Exception:  # noqa: BLE001
+        def collect_cheap():
+            return {}
     for _ in range(max(args.windows, 1)):
         t0 = time.time()
         for _ in range(args.steps):
             out = forward(params, batch)
         hard_sync(out)
         rates.append(args.batch * args.steps / (time.time() - t0))
+        windows_env.append(collect_cheap())
     ips = float(np.median(rates))  # true median (averages the middle pair
     # for even window counts), consistent with bench.py
 
@@ -203,6 +221,7 @@ def main():
         "value": round(ips, 1),
         "unit": "images/sec/chip",
         "windows": [round(r, 1) for r in rates],
+        "windows_env": windows_env,
         "spread": {"min": round(min(rates), 1), "max": round(max(rates), 1),
                    "rel": round((max(rates) - min(rates)) / ips, 4)},
         "batch_size": args.batch,

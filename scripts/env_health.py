@@ -96,5 +96,32 @@ def collect(n_cached_steps: int = 30) -> dict:
     return out
 
 
+def collect_cheap(n_cached_steps: int = 20) -> dict:
+    """Cached-dispatch rate only — the per-window stamp for multi-window
+    artifacts (VERDICT r4 #8).  No novel compile and no 10 MB transfers,
+    so it runs in well under a second and doesn't perturb the window it
+    describes; a collapsed rate mechanically attributes an outlier window
+    (e.g. EXTRACT_r04's 24.5 img/s third window) to tunnel throttling
+    rather than workload variance."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def tiny(x):
+        for _ in range(4):
+            x = jnp.tanh(x @ x)
+        return x
+
+    x = jnp.ones((128, 128), jnp.float32)
+    tiny(x).block_until_ready()  # warm (shared with collect's program)
+    t0 = time.time()
+    for _ in range(n_cached_steps):
+        y = tiny(x)
+    y.block_until_ready()
+    return {"ts": round(time.time(), 1),
+            "cached_steps_per_sec": round(
+                n_cached_steps / (time.time() - t0), 1)}
+
+
 if __name__ == "__main__":
     print(json.dumps(collect(), indent=None))
