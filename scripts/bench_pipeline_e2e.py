@@ -242,6 +242,21 @@ def main():
         # ---- 6+7. flagship CX training on the produced artifacts ----
         arrays = vqacx.CXArrays.from_examples(trainset["examples_list"],
                                               trainset["name_to_index"])
+        # held-out split (VERDICT r4 #2): reserve ~10% of the joined
+        # examples BEFORE training (mirrors the reference's
+        # valset_augmented holdout, counterexamples.py:187-192).  The
+        # planted aid->rank signal is only learnable as a MAPPING on
+        # examples never trained on — train-side recall alone cannot
+        # distinguish learning from memorization.
+        n_all = arrays.size
+        perm = np.random.default_rng(7).permutation(n_all)
+        n_hold = min(max(BATCH, n_all // 10), n_all // 3)
+        arrays = vqacx.CXArrays(*[np.ascontiguousarray(a[perm])
+                                  for a in arrays])
+        hold_arrays = vqacx.CXArrays(*[a[n_all - n_hold:] for a in arrays])
+        arrays = vqacx.CXArrays(*[a[:n_all - n_hold] for a in arrays])
+        report["n_train_examples"] = arrays.size
+        report["n_heldout_examples"] = hold_arrays.size
         store = FeatureStore.load(prefix)
         features = jnp.asarray(np.asarray(store.features))
         opt = synthetic.tiny_vqa_options(dim_v=2048, nans=2000, dim_q=2400)
@@ -319,7 +334,8 @@ def main():
         report["train_examples_per_sec"] = round(steps * BATCH / dt, 1)
         losses = [float(jnp.mean(x)) for x in losses]
         report["loss_finite"] = bool(np.all(np.isfinite(losses)))
-        # learning signal: recall@5 over the planted aid->rank mapping.
+        # learning signal: recall@5 over the planted aid->rank mapping,
+        # on BOTH the train side and the held-out 10% (VERDICT r4 #2).
         # CE loss is a poor indicator at these step counts — the model
         # learns the ORDERING long before the softmax sharpens (tiny-scale
         # control: recall@2 0.33 -> 0.91 while loss moved 1.79 -> 1.78)
@@ -328,14 +344,49 @@ def main():
         n_eval = min(arrays.size, 7680)
         ev = cx_engine.eval_model(
             eval_step, state.params, features,
-            vqacx.CXArrays(image_idxs=arrays.image_idxs[:n_eval],
-                           question_wids=arrays.question_wids[:n_eval],
-                           answer_aids=arrays.answer_aids[:n_eval],
-                           comp_idxs=arrays.comp_idxs[:n_eval]),
-            BATCH)
+            vqacx.CXArrays(*[a[:n_eval] for a in arrays]), BATCH)
+        ev_hold = cx_engine.eval_model(
+            eval_step, state.params, features, hold_arrays, BATCH)
         report["eval_s"] = round(time.time() - t0, 1)
-        report["recall_at_5"] = round(float(ev["recall"]), 4)
+        report["recall_at_5_train"] = round(float(ev["recall"]), 4)
+        report["recall_at_5_heldout"] = round(float(ev_hold["recall"]), 4)
+        report["recall_at_1_heldout"] = round(float(ev_hold["recall_1"]), 4)
         report["recall_at_5_chance"] = round(5.0 / arrays.knn_size, 4)
+
+        # mean score margin (true comp minus best other candidate) on the
+        # held-out side: the MEASURED counterpart of the flat-CE
+        # explanation — a positive margin on unseen examples is ordering
+        # learned, independent of how sharp the softmax is
+        from vqa_counterexamples_tpu.core import rng as rng_lib
+
+        margin_root = rng_lib.root_key(123)
+
+        @jax.jit
+        def batch_margins(params, features, batch):
+            keys = rng_lib.step_keys(margin_root, jnp.asarray(0, jnp.int32),
+                                     ("lesion",))
+            image_features = jnp.take(features, batch["image_idxs"], axis=0)
+            scores = model.apply(
+                {"params": params}, image_features, batch["question_wids"],
+                batch["answer_aids"], deterministic=True, rngs=keys)
+            comp = batch["comp_idxs"].astype(jnp.int32)
+            true = jnp.take_along_axis(scores, comp[:, None], axis=-1)[:, 0]
+            others = scores.at[jnp.arange(scores.shape[0]), comp].set(-jnp.inf)
+            return true - jnp.max(others, axis=-1)
+
+        margins, n_m = [], 0
+        for idx, n_valid in vqacx.batch_indices(hold_arrays.size, BATCH,
+                                                shuffle=False):
+            m = np.asarray(batch_margins(
+                state.params, features,
+                {k: jnp.asarray(v) for k, v in
+                 vqacx.gather_batch(hold_arrays, idx).items()}))
+            margins.append(m[:n_valid])
+            n_m += n_valid
+        margins = np.concatenate(margins)
+        report["heldout_mean_score_margin"] = round(float(margins.mean()), 4)
+        report["heldout_margin_positive_frac"] = round(
+            float((margins > 0).mean()), 4)
         # non-finite losses become null: allow_nan=False would otherwise
         # raise at dump time and discard the whole multi-stage run
         report["loss_first_last"] = [
