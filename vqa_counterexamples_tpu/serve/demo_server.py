@@ -341,15 +341,20 @@ class DemoEngine:
 class MicroBatcher:
     """Coalesce concurrent single requests into one device call.
 
-    The TPU serves a batch of 32 in barely more time than a batch of 1
-    (the 448^2 ResNet forward is compute-dense and the dispatch latency
-    through a tunneled runtime dominates small batches), so under
-    concurrent load the right serving shape is: collect requests for up to
-    ``max_wait_ms`` (or until ``max_batch``), run ONE bucketed forward,
-    fan the rows back out.  Request threads do their own decode/tokenize
-    before enqueueing and their own response formatting after — only the
-    device call is shared.  The reference serves strictly one request per
-    forward (demo_server.py:44-66).
+    OPT-IN, and measured SLOWER than direct per-thread dispatch on this
+    runtime (SERVE_r05.json: direct 47.7 items/s at 16 clients vs 19.1
+    window / 5.4 adaptive; lone-client latency equal in all three arms).
+    Two effects compound against it here: the 448^2 ResNet forward is
+    compute-dense, so a batch of 16 costs barely less per item than 16
+    batches of 1 — coalescing has little to amortize — and a single
+    dispatcher funnel cannot overlap tunnel round-trips the way N
+    independent request threads do.  It exists for the deployments where
+    the trade flips: overhead-dominated models (small forwards, high-RTT
+    dispatch) where one device call per N requests is the win.  Request
+    threads do their own decode/tokenize before enqueueing and their own
+    response formatting after — only the device call is shared.  The
+    reference serves strictly one request per forward
+    (demo_server.py:44-66).
 
     Two coalescing policies:
 
@@ -391,7 +396,14 @@ class MicroBatcher:
         self.max_wait_s = max_wait_ms / 1000.0
         self.adaptive = adaptive
         self._q = queue.Queue()
-        self._fq = queue.Queue()   # dispatched batches awaiting readback
+        # dispatched batches awaiting readback, BOUNDED: without
+        # backpressure the drain loop outruns the device and floods a
+        # throttling tunnel with small batches (measured collapse: p99
+        # 74 s at 16 clients on the tunneled v5e).  At maxsize=2 the
+        # drain loop blocks when two batches are in flight, requests
+        # accumulate, and the next drain coalesces a LARGER batch —
+        # pressure converts into batching instead of queue depth.
+        self._fq = queue.Queue(maxsize=2)
         self._thread = None
         if autostart:
             self.start()
@@ -426,12 +438,22 @@ class MicroBatcher:
         while True:
             entries = [self._q.get()]
             if self.adaptive:
-                # drain only what is ALREADY queued — measured queuing
-                # pressure — and dispatch; no artificial wait
+                # drain what is ALREADY queued and dispatch — no
+                # artificial wait while the device is idle.  When the
+                # dispatch pipeline is full, dispatching would block
+                # anyway, so convert that dead time into coalescing:
+                # keep accumulating until a slot frees.  Without this,
+                # sequential clients waking one-by-one form a convoy of
+                # batch-1 dispatches that a throttling tunnel serializes
+                # catastrophically (measured 0.8 items/s, p99 146 s at
+                # 16 clients).
                 while len(entries) < self.max_batch:
                     try:
                         entries.append(self._q.get_nowait())
                     except queue.Empty:
+                        if self._fq.full():
+                            time.sleep(0.001)
+                            continue
                         break
             else:
                 deadline = time.monotonic() + self.max_wait_s
@@ -577,17 +599,23 @@ def main(argv=None):
                         help="processed dir with vocab pickles")
     parser.add_argument("--serve_web", action="store_true",
                         help="also serve the bundled demo_web client")
-    parser.add_argument("--batcher", default="adaptive",
+    parser.add_argument("--batcher", default="off",
                         choices=["adaptive", "window", "off"],
-                        help="POST / coalescing policy: 'adaptive' (default) "
-                             "dispatches a lone request immediately and "
-                             "coalesces only requests that queued during the "
-                             "in-flight device call — it wins both the "
-                             "1-client and 16-client arms of "
-                             "scripts/bench_serve.py; 'window' is the legacy "
-                             "fixed --batch_window_ms hold (measured slower "
-                             "under load, SERVE_r04.json); 'off' serves one "
-                             "request per device call")
+                        help="POST / coalescing policy.  Default 'off': one "
+                             "request per device call, each request thread "
+                             "dispatching independently — MEASURED fastest "
+                             "at both 1 and 16 clients on this runtime "
+                             "(SERVE_r05.json: 47.7 items/s vs 19.1 window "
+                             "/ 5.4 adaptive at 16 clients; the 448^2 CNN "
+                             "call is compute-dense, so batch-16 is barely "
+                             "cheaper per item than batch-1, and a single "
+                             "dispatcher funnel cannot overlap tunnel RTTs "
+                             "the way N independent threads do).  'adaptive' "
+                             "coalesces with zero idle latency, 'window' "
+                             "holds --batch_window_ms — both for overhead-"
+                             "dominated deployments (tiny models, high-RTT "
+                             "dispatch) where one device call per N "
+                             "requests wins")
     parser.add_argument("--batch_window_ms", type=float, default=4.0,
                         help="fixed coalescing window, used only with "
                              "--batcher window (0 also disables the batcher, "
