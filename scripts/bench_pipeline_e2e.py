@@ -49,6 +49,7 @@ SCAN_LEN = int(os.environ.get("E2E_SCAN_LEN", "50"))
 # planted rank signal needs O(1k) steps before the loss moves past rounding
 EPOCHS = int(os.environ.get("E2E_EPOCHS", "20"))
 EXTRACT_BATCH = int(os.environ.get("E2E_EXTRACT_BATCH", "64"))
+LR = float(os.environ.get("E2E_LR", "1e-4"))
 KNN_SIZE = 24
 
 os.environ.setdefault("VQACX_ENABLE_PALLAS", "1")
@@ -61,19 +62,26 @@ def _make_jpegs(workdir):
     img_dir = os.path.join(workdir, "raw", "train2014")
     os.makedirs(img_dir, exist_ok=True)
     rng = np.random.default_rng(0)
-    # every image DISTINCT (rolled/brightness-shifted views of one noise
-    # canvas, one JPEG encode each): cycling a few identical JPEGs makes
-    # 48-way duplicate feature groups whose KNN lists degenerate under
-    # deterministic tie-breaking — the join then drops ~half the pairs
-    # regardless of how comp partners are chosen
-    x = (np.linspace(0, 255, 640)[None, :]
-         + rng.normal(0, 25, (480, 640))).clip(0, 255)
-    base = np.stack([x, np.roll(x, 9, 1), 255 - x], -1).astype(np.uint8)
+    # every image needs genuinely DISTINCT low-frequency content.  Two
+    # earlier generations both degenerated: cycling a few identical JPEGs
+    # made 48-way duplicate feature groups, and rolled views of ONE noise
+    # canvas made the noatt features (a GLOBAL spatial mean — translation
+    # invariant) bitwise near-identical across all images, so candidate
+    # scores tied exactly and recall rode on top_k's lowest-index
+    # tie-break instead of learned ordering (caught by the r05 margin
+    # metrics: heldout_top_tie_frac was 1.0).  Per-image random gradient
+    # orientations + per-image noise give each image its own spatial-mean
+    # statistics.
+    yy, xx = np.meshgrid(np.linspace(-1, 1, 480), np.linspace(-1, 1, 640),
+                         indexing="ij")
     paths = []
     for i in range(N_IMG):
-        img = np.roll(base, (i * 7) % 480, axis=0)
-        img = np.roll(img, (i * 13) % 640, axis=1)
-        img = ((img.astype(np.int16) + (i % 17) - 8) % 256).astype(np.uint8)
+        img = np.empty((480, 640, 3), np.uint8)
+        for c in range(3):
+            gx, gy, ph = rng.normal(size=3)
+            plane = 128 + 70 * np.sin(2.2 * (gx * xx + gy * yy) + 3 * ph) \
+                + rng.normal(0, 18, (480, 640))
+            img[..., c] = plane.clip(0, 255).astype(np.uint8)
         buf = io.BytesIO()
         Image.fromarray(img).save(buf, "JPEG", quality=90)
         p = os.path.join(img_dir, "COCO_train2014_%012d.jpg" % i)
@@ -258,7 +266,17 @@ def main():
         report["n_train_examples"] = arrays.size
         report["n_heldout_examples"] = hold_arrays.size
         store = FeatureStore.load(prefix)
-        features = jnp.asarray(np.asarray(store.features))
+        features = np.asarray(store.features, np.float32)
+        # standardize: the random-init trunk (no --weights in this smoke
+        # pipeline) emits features orders of magnitude hotter than a
+        # pretrained ResNet's O(1) activations; unnormalized they start CE
+        # at ~100 and Adam shrinks the whole head — including the rank
+        # pathway carrying the planted signal — into the uniform solution
+        # (scores bitwise constant; the r05 margin forensics caught that
+        # collapse masquerading as recall).  Real extracted features need
+        # no such step.
+        features = (features - features.mean(0)) / (features.std(0) + 1e-6)
+        features = jnp.asarray(features)
         opt = synthetic.tiny_vqa_options(dim_v=2048, nans=2000, dim_q=2400)
         opt["seq2vec"] = {"arch": "skipthoughts", "type": "BayesianUniSkip",
                           "dropout": 0.25, "fixed_emb": False}
@@ -271,7 +289,8 @@ def main():
                     trainable_vqa=False)
         model = factory.factory_cx("NeuralModel", vqa_model,
                                    knn_size=arrays.knn_size, model_spec=spec)
-        optimizer = optax.adam(1e-4)
+        optimizer = optax.adam(LR)
+        report["lr"] = LR
         t0 = time.time()
         state = cx_engine.init_cx_state(
             model, optimizer, vqacx.gather_batch(arrays, np.arange(BATCH)),
@@ -368,25 +387,56 @@ def main():
             image_features = jnp.take(features, batch["image_idxs"], axis=0)
             scores = model.apply(
                 {"params": params}, image_features, batch["question_wids"],
-                batch["answer_aids"], deterministic=True, rngs=keys)
+                batch["answer_aids"], deterministic=True,
+                rngs=keys).astype(jnp.float32)
             comp = batch["comp_idxs"].astype(jnp.int32)
             true = jnp.take_along_axis(scores, comp[:, None], axis=-1)[:, 0]
             others = scores.at[jnp.arange(scores.shape[0]), comp].set(-jnp.inf)
-            return true - jnp.max(others, axis=-1)
+            best_other = jnp.max(others, axis=-1)
+            k = scores.shape[-1]
+            mean_other = (jnp.sum(scores, axis=-1) - true) / (k - 1)
+            return true - best_other, true - mean_other
 
-        margins, n_m = [], 0
+        m_best, m_mean = [], []
         for idx, n_valid in vqacx.batch_indices(hold_arrays.size, BATCH,
                                                 shuffle=False):
-            m = np.asarray(batch_margins(
+            mb, mm = batch_margins(
                 state.params, features,
                 {k: jnp.asarray(v) for k, v in
-                 vqacx.gather_batch(hold_arrays, idx).items()}))
-            margins.append(m[:n_valid])
-            n_m += n_valid
-        margins = np.concatenate(margins)
-        report["heldout_mean_score_margin"] = round(float(margins.mean()), 4)
-        report["heldout_margin_positive_frac"] = round(
-            float((margins > 0).mean()), 4)
+                 vqacx.gather_batch(hold_arrays, idx).items()})
+            if not m_best:  # forensics: margins + raw-score row + spread
+                report["heldout_margins_row0_sample"] = [
+                    round(float(v), 6) for v in np.asarray(mb)[:8]]
+                keys0 = rng_lib.step_keys(margin_root,
+                                          jnp.asarray(0, jnp.int32),
+                                          ("lesion",))
+                b0 = {k: jnp.asarray(v) for k, v in
+                      vqacx.gather_batch(hold_arrays, idx).items()}
+                s0 = np.asarray(model.apply(
+                    {"params": state.params},
+                    jnp.take(features, b0["image_idxs"], axis=0),
+                    b0["question_wids"], b0["answer_aids"],
+                    deterministic=True, rngs=keys0), np.float32)
+                report["heldout_scores_row0"] = [
+                    round(float(v), 6) for v in s0[0]]
+                report["heldout_score_row_std_mean"] = round(
+                    float(s0.std(axis=-1).mean()), 6)
+            m_best.append(np.asarray(mb)[:n_valid])
+            m_mean.append(np.asarray(mm)[:n_valid])
+        m_best = np.concatenate(m_best)
+        m_mean = np.concatenate(m_mean)
+        # vs-best collapses to 0 when the top scores TIE in the bf16
+        # forward (the synthetic near-duplicate candidates make exact
+        # ties common), so report it alongside the tie fraction and the
+        # tie-robust vs-mean margin — the latter is the ordering signal
+        report["heldout_margin_vs_best_mean"] = round(float(m_best.mean()), 5)
+        report["heldout_margin_vs_best_positive_frac"] = round(
+            float((m_best > 0).mean()), 4)
+        report["heldout_top_tie_frac"] = round(
+            float((m_best == 0).mean()), 4)
+        report["heldout_margin_vs_mean_mean"] = round(float(m_mean.mean()), 5)
+        report["heldout_margin_vs_mean_positive_frac"] = round(
+            float((m_mean > 0).mean()), 4)
         # non-finite losses become null: allow_nan=False would otherwise
         # raise at dump time and discard the whole multi-stage run
         report["loss_first_last"] = [
