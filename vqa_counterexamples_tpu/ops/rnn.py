@@ -175,10 +175,16 @@ def _per_gate_x_proj(params: "GRUParams", x: jax.Array,
     projs = []
     for g in range(3):
         xg = xt * jnp.tile(mx[:, g], (seq_len, 1))
-        xc, wg = cast_in(xg, w3[:, g])
-        pg = jnp.dot(xc, wg, preferred_element_type=jnp.float32) + b3[g]
-        projs.append(jnp.pad(pg, ((0, 0), (0, pad_h))).astype(jnp.bfloat16)
-                     .reshape(seq_len, batch, hp))
+        # pad the WEIGHT columns (620 x 32, trivial), not the (T*B, H)
+        # output: each gate GEMM then lands directly in the kernel's
+        # padded (T, B, Hp) slab — the earlier output-side jnp.pad cost
+        # two (13312, 2432) pad passes plus layout-fix copies per step
+        # (xplane 2026-08-21, ~0.6 ms/step of the per-gate gap)
+        wg = jnp.pad(w3[:, g], ((0, 0), (0, pad_h)))
+        bg = jnp.pad(b3[g], (0, pad_h))
+        xc, wgc = cast_in(xg, wg)
+        pg = jnp.dot(xc, wgc, preferred_element_type=jnp.float32) + bg
+        projs.append(pg.astype(jnp.bfloat16).reshape(seq_len, batch, hp))
     # a (xr, xz, xn) TUPLE, not a stacked (3,T,B,Hp) array: the kernels
     # take the three slabs as separate operands, and the stack/unstack
     # pair alone measured ~1.3 ms/step at reference dims
