@@ -282,13 +282,26 @@ def test_replication_vqa_yaml_rewrites_project_paths(tmp_path):
         dir_vqa=str(tmp_path / "data" / "vqa2"),
         dir_coco=str(tmp_path / "data" / "coco"),
         features=str(tmp_path / "data" / "coco" / "extract" / "x"),
-        dir_st=str(tmp_path / "data" / "skip-thoughts"))
+        dir_st=str(tmp_path / "data" / "skip-thoughts"),
+        rehearsal=False)
     path_opt = rr.write_vqa_train_yaml(P)
     opt = yaml.safe_load(open(path_opt))
     assert opt["vqa"]["dir"] == P.dir_vqa
     assert opt["coco"]["dir"] == P.dir_coco
     assert opt["coco"]["path_features"] == P.features
     assert opt["model"]["seq2vec"]["dir_st"] == P.dir_st
-    # untouched hyperparameters survive the rewrite
+    # untouched hyperparameters survive the rewrite (full-scale mode)
     assert opt["model"]["arch"] == "MutanNoAtt"
     assert opt["optim"]["batch_size"] == 512
+    assert opt["vqa"]["nans"] == 2000
+
+    # --rehearsal shrinks the model/data dims but keeps the architecture
+    P.rehearsal = True
+    P.nans, P.dim_q, P.extract_size = 10, 64, 64
+    opt = yaml.safe_load(open(rr.write_vqa_train_yaml(P)))
+    assert opt["vqa"]["nans"] == 10
+    assert opt["coco"]["size"] == 64
+    assert opt["model"]["seq2vec"]["hidden_size"] == 64
+    assert opt["model"]["fusion"]["dim_q"] == 64
+    assert opt["model"]["arch"] == "MutanNoAtt"
+    assert opt["model"]["seq2vec"]["type"] == "BayesianUniSkip"
