@@ -248,3 +248,22 @@ def test_device_put_contiguous_normalizes_transposed_leaves():
     # idempotent on already-device trees
     out2 = policy.device_put_contiguous(out)
     np.testing.assert_array_equal(np.asarray(out2["w"]), base.T)
+
+
+def test_device_put_contiguous_rejects_mesh_sharded_leaves():
+    """A mesh-sharded leaf round-tripped through the host would silently
+    lose its sharding — the normalizer must refuse instead (ADVICE r4:
+    engines normalize BEFORE device_put'ing onto a mesh)."""
+    import jax
+    import numpy as np
+    import pytest
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from vqa_counterexamples_tpu.core import policy
+    from vqa_counterexamples_tpu.parallel import make_mesh
+
+    mesh = make_mesh({"data": 8}, jax.devices()[:8])
+    sharded = jax.device_put(np.arange(16, dtype=np.float32).reshape(8, 2),
+                             NamedSharding(mesh, P("data")))
+    with pytest.raises(ValueError, match="mesh-sharded"):
+        policy.device_put_contiguous({"w": sharded})

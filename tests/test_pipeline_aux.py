@@ -240,6 +240,14 @@ def test_env_health_collect_shape():
     assert out["h2d_10mb_gbps"] > 0
     assert "device" in out and "ts" in out
 
+    # the per-window stamp (VERDICT r4 #8): cheap by construction — only
+    # the cached-dispatch signal, so it can run after every bench window
+    from env_health import collect_cheap
+
+    cheap = collect_cheap(n_cached_steps=5)
+    assert set(cheap) == {"ts", "cached_steps_per_sec"}
+    assert cheap["cached_steps_per_sec"] > 0
+
 
 def test_parse_xplane_tables_survive_valueless_metadata():
     """Metadata map entries serialized without a value field (legal for
