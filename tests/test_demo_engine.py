@@ -164,9 +164,12 @@ def test_microbatcher_coalesces_concurrent_requests():
 
     engine.predict_prepared_async = counting_predict
 
-    # autostart=False: enqueue all requests BEFORE the batch loop starts, so
-    # the coalescing assertion is deterministic on any machine
-    batcher = MicroBatcher(engine, max_wait_ms=50.0, autostart=False)
+    # autostart=False: enqueue all requests BEFORE the batch loop starts,
+    # and a single dispatcher, so the coalescing assertion is
+    # deterministic on any machine (the default 4 dispatchers would race
+    # over the pre-filled queue and split the batch arbitrarily)
+    batcher = MicroBatcher(engine, max_wait_ms=50.0, autostart=False,
+                           n_dispatchers=1)
     items = [{"visual": _jpeg_b64(i), "question": "what color is the w%d" % i}
              for i in range(5)]
     results: list = [None] * len(items)

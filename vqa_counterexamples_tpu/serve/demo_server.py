@@ -341,20 +341,18 @@ class DemoEngine:
 class MicroBatcher:
     """Coalesce concurrent single requests into one device call.
 
-    OPT-IN, and measured SLOWER than direct per-thread dispatch on this
-    runtime (SERVE_r05.json: direct 47.7 items/s at 16 clients vs 19.1
-    window / 5.4 adaptive; lone-client latency equal in all three arms).
-    Two effects compound against it here: the 448^2 ResNet forward is
-    compute-dense, so a batch of 16 costs barely less per item than 16
-    batches of 1 — coalescing has little to amortize — and a single
-    dispatcher funnel cannot overlap tunnel round-trips the way N
-    independent request threads do.  It exists for the deployments where
-    the trade flips: overhead-dominated models (small forwards, high-RTT
-    dispatch) where one device call per N requests is the win.  Request
-    threads do their own decode/tokenize before enqueueing and their own
-    response formatting after — only the device call is shared.  The
-    reference serves strictly one request per forward
-    (demo_server.py:44-66).
+    OPT-IN: on this runtime direct per-thread dispatch still wins 16-client
+    throughput (SERVE_r05.json: 41.6 items/s direct vs 24.7 adaptive /
+    26.0 window — the 448^2 ResNet forward is compute-dense, so a batch
+    of 16 costs barely less per item than 16 batches of 1 and coalescing
+    has little to amortize), though the adaptive batcher now posts the
+    best p50 (191 vs 355 ms) at a worse tail.  It exists for the
+    deployments where the trade flips: overhead-dominated models (small
+    forwards, high-RTT dispatch) where one device call per N requests is
+    the win.  Request threads do their own decode/tokenize before
+    enqueueing and their own response formatting after — only the device
+    call is shared.  The reference serves strictly one request per
+    forward (demo_server.py:44-66).
 
     Two coalescing policies:
 
@@ -372,15 +370,16 @@ class MicroBatcher:
       to the window in extra latency.  Kept for A/B measurement
       (scripts/bench_serve.py).
 
-    The device path is a two-stage pipeline: the drain loop coalesces a
-    batch and DISPATCHES it (``predict_prepared_async`` — jax dispatch is
-    asynchronous, so this returns as soon as the program is enqueued),
-    then immediately drains the next batch; a separate finisher thread
-    pays the one blocking device->host readback per batch and fans the
-    rows out.  Without the split, the drain loop blocks a full device
-    round-trip per batch and N direct-dispatch threads beat it by simply
-    overlapping their round-trips (measured: 51.3 vs 29.7 items/s at 16
-    clients on a tunneled v5e).
+    ``n_dispatchers`` parallel drain loops share one queue: each takes a
+    batch (coalescing whatever else is queued) and runs the blocking
+    device call itself, so up to ``n_dispatchers`` coalesced batches
+    overlap their round-trips the way direct-dispatch threads do.  A
+    SINGLE dispatcher funnel was measured pathological on a tunneled
+    runtime: sequential clients waking one-by-one degenerate it into a
+    convoy of batch-1 dispatches with zero overlap (~1 s/item at 16
+    clients), and an async-dispatch/finisher pipeline variant collapsed
+    the same way for the same reason — batch composition, not readback
+    blocking, was the bottleneck.
 
     ``submit`` blocks until the result row is ready and re-raises any
     batch-level failure in the caller's thread.
@@ -388,33 +387,26 @@ class MicroBatcher:
 
     def __init__(self, engine: DemoEngine, max_batch: int = MAX_BATCH,
                  max_wait_ms: float = 4.0, autostart: bool = True,
-                 adaptive: bool = True):
+                 adaptive: bool = True, n_dispatchers: int = 4):
         import queue
 
         self.engine = engine
         self.max_batch = max_batch
         self.max_wait_s = max_wait_ms / 1000.0
         self.adaptive = adaptive
+        self.n_dispatchers = max(1, n_dispatchers)
         self._q = queue.Queue()
-        # dispatched batches awaiting readback, BOUNDED: without
-        # backpressure the drain loop outruns the device and floods a
-        # throttling tunnel with small batches (measured collapse: p99
-        # 74 s at 16 clients on the tunneled v5e).  At maxsize=2 the
-        # drain loop blocks when two batches are in flight, requests
-        # accumulate, and the next drain coalesces a LARGER batch —
-        # pressure converts into batching instead of queue depth.
-        self._fq = queue.Queue(maxsize=2)
-        self._thread = None
+        self._threads: list = []
         if autostart:
             self.start()
 
     def start(self) -> None:
-        if self._thread is None:
-            self._thread = threading.Thread(target=self._loop, daemon=True)
-            self._finisher = threading.Thread(target=self._finish_loop,
-                                              daemon=True)
-            self._thread.start()
-            self._finisher.start()
+        if not self._threads:
+            self._threads = [
+                threading.Thread(target=self._loop, daemon=True)
+                for _ in range(self.n_dispatchers)]
+            for t in self._threads:
+                t.start()
 
     def pending(self) -> int:
         return self._q.qsize()
@@ -439,21 +431,13 @@ class MicroBatcher:
             entries = [self._q.get()]
             if self.adaptive:
                 # drain what is ALREADY queued and dispatch — no
-                # artificial wait while the device is idle.  When the
-                # dispatch pipeline is full, dispatching would block
-                # anyway, so convert that dead time into coalescing:
-                # keep accumulating until a slot frees.  Without this,
-                # sequential clients waking one-by-one form a convoy of
-                # batch-1 dispatches that a throttling tunnel serializes
-                # catastrophically (measured 0.8 items/s, p99 146 s at
-                # 16 clients).
+                # artificial wait; a lone request goes straight to the
+                # device while the other dispatchers stay parked on the
+                # queue for whatever arrives next
                 while len(entries) < self.max_batch:
                     try:
                         entries.append(self._q.get_nowait())
                     except queue.Empty:
-                        if self._fq.full():
-                            time.sleep(0.001)
-                            continue
                         break
             else:
                 deadline = time.monotonic() + self.max_wait_s
@@ -468,38 +452,19 @@ class MicroBatcher:
             self._run(entries)
 
     def _run(self, entries: list) -> None:
-        """Coalesce + dispatch; the readback happens in ``_finish_loop``."""
         import numpy as np
 
         try:
             images = np.stack([e[0][0] for e in entries])
             wids = np.stack([e[0][1] for e in entries])
-            outs = self.engine.predict_prepared_async(images, wids)
-            self._fq.put((outs, entries))
+            vals, idxs, att = self.engine.predict_prepared(images, wids)
+            for j, (_, done, slot) in enumerate(entries):
+                slot["row"] = (vals[j], idxs[j], att[j])
+                done.set()
         except Exception as exc:  # noqa: BLE001 — re-raised in each caller
-            self._fail(entries, exc)
-
-    def _finish_loop(self) -> None:
-        """One blocking device->host readback per dispatched batch, rows
-        fanned back out to the waiting request threads."""
-        import numpy as np
-
-        while True:
-            (vals, idxs, att), entries = self._fq.get()
-            try:
-                vals, idxs, att = (np.asarray(vals), np.asarray(idxs),
-                                   np.asarray(att))
-                for j, (_, done, slot) in enumerate(entries):
-                    slot["row"] = (vals[j], idxs[j], att[j])
-                    done.set()
-            except Exception as exc:  # noqa: BLE001 — re-raised per caller
-                self._fail(entries, exc)
-
-    @staticmethod
-    def _fail(entries: list, exc: Exception) -> None:
-        for _, done, slot in entries:
-            slot["error"] = exc
-            done.set()
+            for _, done, slot in entries:
+                slot["error"] = exc
+                done.set()
 
 
 def make_handler(engine: DemoEngine, web_dir: str | None,
@@ -603,16 +568,16 @@ def main(argv=None):
                         choices=["adaptive", "window", "off"],
                         help="POST / coalescing policy.  Default 'off': one "
                              "request per device call, each request thread "
-                             "dispatching independently — MEASURED fastest "
-                             "at both 1 and 16 clients on this runtime "
-                             "(SERVE_r05.json: 47.7 items/s vs 19.1 window "
-                             "/ 5.4 adaptive at 16 clients; the 448^2 CNN "
-                             "call is compute-dense, so batch-16 is barely "
-                             "cheaper per item than batch-1, and a single "
-                             "dispatcher funnel cannot overlap tunnel RTTs "
-                             "the way N independent threads do).  'adaptive' "
-                             "coalesces with zero idle latency, 'window' "
-                             "holds --batch_window_ms — both for overhead-"
+                             "dispatching independently — highest measured "
+                             "16-client throughput on this runtime "
+                             "(SERVE_r05.json: 41.6 items/s vs 24.7 "
+                             "adaptive / 26.0 window; the 448^2 CNN call "
+                             "is compute-dense, so batch-16 is barely "
+                             "cheaper per item than batch-1).  'adaptive' "
+                             "coalesces with zero idle latency over 4 "
+                             "parallel dispatchers (best p50 under load, "
+                             "worse tail), 'window' holds "
+                             "--batch_window_ms — both for overhead-"
                              "dominated deployments (tiny models, high-RTT "
                              "dispatch) where one device call per N "
                              "requests wins")
