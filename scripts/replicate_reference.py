@@ -234,6 +234,8 @@ def _rehearsal_questions(split, n_images, rng):
     k = 0
     for a in range(1, n_images + 1, 2):
         b = a + 1
+        if b > n_images:  # odd count: the last image gets solo questions only
+            break
         for q in range(3):  # complementary: same question, two images
             noun = REHEARSAL_NOUNS[rng.integers(len(REHEARSAL_NOUNS))]
             text = "What color is the %s near the %s ?" % (
@@ -243,8 +245,6 @@ def _rehearsal_questions(split, n_images, rng):
             add(a * 100 + q, a, text, ans_a)
             add(b * 100 + q, b, text, ans_b)
             comp_pairs.append([a * 100 + q, b * 100 + q])
-        if b > n_images:
-            break
     for i in range(1, n_images + 1):
         for q in range(3, 6):  # solo questions: vocab mass, no complement
             noun = REHEARSAL_NOUNS[rng.integers(len(REHEARSAL_NOUNS))]
