@@ -71,6 +71,21 @@ the round-2 "179.8k driver vs 208.5k recorded" mystery — it measured
 one dispatch right after warm-up, where stragglers (layout settling,
 tunnel jitter) land; 1000 steps of settled execution reproduce within
 0.8% across windows.
+-> **256.6k median (171.0x, MFU 0.363), spread 0.4%** (2026-08-21) with
+the fused image-feature Pallas kernel (ops/pallas/vfeat_kernel.py,
+VQACX_FUSED_VFEAT=0 reverts; same-session control 238.2k): the xplane
+trace showed ~1.07 ms of the 3.09 ms step in the candidate-feature
+pipeline — gather 0.236 + flat->3D reshape 0.154 + {2,1,0}->{0,2,1}
+relayout 0.293 + v_mult materialization 0.105 + fwd GEMMs 0.126 + bwd
+dW GEMMs 0.121 + v_dist 0.033 — i.e. the 75 MB (B, K, 2048) rows were
+written, relayouted and re-read five times.  The kernel gathers the
+rows K-MAJOR ((K, B, dim_v): the v_orig block broadcasts over the
+leading axis for free) and computes v_other@W + (v_orig*v_knns)@W +
+pairwise distance from ONE VMEM-resident read forward and one
+backward (dW accumulates across the sequential grid in VMEM); measured
+HBM demand dropped 629 -> 578 GB/s while throughput rose 7%.  Example
+tile swept same-session: 16=250.1k, 32=254.1k, 64=254.5k (default),
+96=251.9k, 128=244.0k.
 B=512 programs previously failed with transient
 'UNAVAILABLE: TPU device error' on most attempts (2026-08-16: 1/7, a
 failed program wedged the chip for minutes) so B=384 was the default;

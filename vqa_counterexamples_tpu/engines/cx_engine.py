@@ -563,6 +563,15 @@ def _make_cx_step_body(model, optimizer, *, recall_k: int, base_seed: int,
             and getattr(model, "trainable_vqa", False)):
         raise ValueError(
             "q_emb/v_proj/z_emb caches require a frozen VQA backbone")
+    # resolved at BUILD time, outside any jit trace (env-latched traces are
+    # a known hazard — see ops/rnn.py:286): with the z cache on and the
+    # fused image-feature kernel eligible, the model takes the feature
+    # table + row indices and gathers K-major itself
+    # (ops/pallas/vfeat_kernel.py) instead of the materialized
+    # (B, K+1, dim_v) form
+    pass_table = bool(use_z_cache
+                      and getattr(model, "wants_table_features", None)
+                      and model.wants_table_features())
 
     def step_body(state: CXTrainState, features, batch, n_valid,
                   q_table, v_table, z_table=None):
@@ -574,7 +583,13 @@ def _make_cx_step_body(model, optimizer, *, recall_k: int, base_seed: int,
 
         def loss_fn(trainable):
             params = {**trainable, **frozen}
-            image_features = jnp.take(features, batch["image_idxs"], axis=0)
+            if pass_table:
+                image_features = None
+                q_kw.update(features_table=features,
+                            image_idxs=batch["image_idxs"])
+            else:
+                image_features = jnp.take(features, batch["image_idxs"],
+                                          axis=0)
             scores = model.apply(
                 {"params": params}, image_features, batch["question_wids"],
                 batch["answer_aids"], *extra_apply_args,
@@ -677,6 +692,11 @@ def make_cx_eval_step(model, *, recall_k: int = 5, base_seed: int = 123,
     (see :func:`precompute_q_emb`); with ``use_v_cache=True`` a further
     ``v_table`` (see :func:`precompute_v_proj`)."""
     root = rng_lib.root_key(base_seed)
+    # build-time resolution, mirroring _make_cx_step_body (the kernel's
+    # forward also serves eval — same numerics, deterministic)
+    pass_table = bool(use_z_cache
+                      and getattr(model, "wants_table_features", None)
+                      and model.wants_table_features())
 
     @jax.jit
     def eval_step(params, features, batch, n_valid, step, q_table=None,
@@ -684,8 +704,13 @@ def make_cx_eval_step(model, *, recall_k: int = 5, base_seed: int = 123,
         keys = rng_lib.step_keys(root, step, ("lesion",))
         batch_size = batch["comp_idxs"].shape[0]
         mask = jnp.arange(batch_size) < n_valid
-        image_features = jnp.take(features, batch["image_idxs"], axis=0)
         q_kw = cache_kwargs(batch, q_table, v_table, z_table)
+        if pass_table:
+            image_features = None
+            q_kw.update(features_table=features,
+                        image_idxs=batch["image_idxs"])
+        else:
+            image_features = jnp.take(features, batch["image_idxs"], axis=0)
         scores = model.apply(
             {"params": params}, image_features, batch["question_wids"],
             batch["answer_aids"], *extra_apply_args,

@@ -78,16 +78,21 @@ class CXModelBase(nn.Module):
                  z_emb: jax.Array = None, want_logits: bool = True):
         # K+1 comes from the input shape (the reference asserts it equals
         # knn_size+1, cx.py:65, and mutates knn_size for pairwise eval —
-        # shape-derived K serves both without mutation).
-        batch, k1, _ = image_features.shape
+        # shape-derived K serves both without mutation).  With the z cache
+        # the raw features are never touched here, so callers on the fused
+        # image-feature path may pass ``image_features=None``.
+        if image_features is not None:
+            batch, k1, _ = image_features.shape
+        else:
+            assert z_emb is not None, \
+                "image_features=None requires the z_emb cache"
+            batch, k1 = z_emb.shape[:2]
 
         # frozen VQA runs in eval mode (no dropout) regardless of CX training
         # (reference cx.py:59-60,78); trainable VQA follows the CX mode.
         vqa_det = True if not self.trainable_vqa else deterministic
         assert z_emb is None or not self.trainable_vqa, \
             "z_emb cache requires a frozen VQA backbone"
-
-        v_emb = image_features.reshape(batch * k1, -1)
         # With a frozen VQA backbone the encoder output is deterministic per
         # question, so callers may pass a precomputed ``q_emb`` table row
         # (engines/cx_engine.precompute_q_emb) and skip the 26-step GRU —
@@ -122,7 +127,8 @@ class CXModelBase(nn.Module):
             q_dup = jnp.broadcast_to(q_emb[:, None, :],
                                      (batch, k1, q_emb.shape[-1]))
             q_dup = q_dup.reshape(batch * k1, -1)
-            z = self.vqa_model.fuse(v_emb, q_dup, vqa_det)
+            z = self.vqa_model.fuse(image_features.reshape(batch * k1, -1),
+                                    q_dup, vqa_det)
         z = z.reshape(batch, k1, -1)
         if not self.trainable_vqa:
             z = jax.lax.stop_gradient(z)
@@ -267,16 +273,35 @@ class NeuralModel(CXModelBase):
     def __call__(self, image_features, question_wids, answer_aids,
                  deterministic: bool = True, q_emb: jax.Array = None,
                  v_proj: jax.Array = None,
-                 z_emb: jax.Array = None):
+                 z_emb: jax.Array = None,
+                 features_table: jax.Array = None,
+                 image_idxs: jax.Array = None):
         spec = self.model_spec
-        batch, k1, _ = image_features.shape
         K = self.knn_size
+        if image_features is not None:
+            batch, k1, _ = image_features.shape
+        else:
+            # table form (engines pass the feature table + per-example row
+            # indices instead of the materialized (B, K+1, dim_v) gather):
+            # the fused Pallas image-feature path reads the gathered rows
+            # exactly once, K-major (ops/pallas/vfeat_kernel.py)
+            assert features_table is not None and image_idxs is not None
+            batch, k1 = image_idxs.shape
         assert k1 == K + 1
 
         dim_v = self.vqa_model.opt["fusion"]["dim_v"]
         dim_q = self.vqa_model.opt["fusion"]["dim_q"]
         dim_z = self.vqa_model.opt["fusion"]["dim_mm"]
         ans_size = len(self.vqa_model.vocab_answers)
+
+        fused_v = (image_features is None and z_emb is not None
+                   and self._fused_vfeat_ok())
+        if image_features is None and not fused_v:
+            # table form without the fused gate (e.g. initialization or an
+            # env override): materialize the classic gather and fall through
+            image_features = jnp.take(
+                features_table, image_idxs.reshape(-1), axis=0
+            ).reshape(batch, k1, -1)
 
         if not spec["v_emb"]:
             image_features = _uniform(self, (batch, K + 1, dim_v))
@@ -285,8 +310,13 @@ class NeuralModel(CXModelBase):
             # longer describe them
             v_proj = None
             z_emb = None
-        v_orig = image_features[:, 0]
-        v_knns = image_features[:, 1:]
+            fused_v = False
+        if fused_v:
+            v_orig = jnp.take(features_table, image_idxs[:, 0], axis=0)
+            v_knns = None
+        else:
+            v_orig = image_features[:, 0]
+            v_knns = image_features[:, 1:]
 
         a_knns = None
         fused_z = None
@@ -343,11 +373,19 @@ class NeuralModel(CXModelBase):
             a_emb_gt = _uniform(self, (batch, self.dim_a))
             a_emb_knns = _uniform(self, (batch, K, self.dim_a))
 
-        if spec["v_mult"]:
+        if fused_v:
+            # one K-major gather feeds the fused Pallas kernel; the
+            # (B, K, dim_v) candidate rows, the v_mult product and the
+            # distance never exist in HBM (ops/pallas/vfeat_kernel.py)
+            v_mult = None
+            v_dist = None  # computed with h_v_fused below, after w1 exists
+        elif spec["v_mult"]:
             v_mult = v_orig[:, None, :] * v_knns
         else:
             v_mult = jnp.zeros((batch, K, dim_v))
-        if spec["v_dist"]:
+        if fused_v:
+            pass
+        elif spec["v_dist"]:
             v_dist = pairwise_distance(v_orig[:, None, :], v_knns,
                                        keepdims=False)
         else:
@@ -365,11 +403,16 @@ class NeuralModel(CXModelBase):
                         (slices.input_size, self.dim_h))
         b1 = self.param("linear_1_b", nn.initializers.zeros, (self.dim_h,))
 
+        h_v_fused = None
+        if fused_v:
+            h_v_fused, v_dist = self._fused_vfeat(
+                features_table, image_idxs, v_orig, w1, slices, batch, K)
+
         h = scorer_ops.first_layer_decomposed(
             w1, b1, slices, v_orig=v_orig, v_knns=v_knns, v_mult=v_mult,
             v_dist=v_dist, v_rank=v_rank, q_emb=q_emb, z_orig=z_orig,
             z_knns=z_knns, a_emb_gt=a_emb_gt, a_emb_knns=a_emb_knns,
-            a_emb_knns_factored=a_emb_factored)
+            a_emb_knns_factored=a_emb_factored, h_v_fused=h_v_fused)
 
         hidden_ws, hidden_bs = [], []
         for layer in range(2, self.n_layers + 1):
@@ -387,6 +430,82 @@ class NeuralModel(CXModelBase):
         return scorer_ops.mlp_tail(h, hidden_ws, hidden_bs, w_out, b_out,
                                    drop_p=self.drop_p,
                                    deterministic=deterministic, rng=rng)
+
+    def _fused_vfeat_ok(self) -> bool:
+        """Eligibility for the fused image-feature Pallas kernel
+        (ops/pallas/vfeat_kernel.py).
+
+        VQACX_FUSED_VFEAT: 'auto' (default) = on for single-device TPU
+        runs under the bf16 policy, '1' = whenever eligible regardless of
+        device count, 'interpret' = force through the Mosaic interpreter
+        (CPU tests), '0' = always the jax path.  Hard requirements: the
+        full v-feature spec (v_emb + v_mult + v_dist — the kernel computes
+        all three from one read), and a lane-aligned dim_v.  Callers
+        additionally need the z cache (so nothing else consumes the raw
+        candidate rows) — checked at the call sites.
+        """
+        import os
+
+        spec = self.model_spec
+        if not (spec["v_emb"] and spec["v_mult"] and spec["v_dist"]):
+            return False
+        if self.vqa_model.opt["fusion"]["dim_v"] % 128 != 0:
+            return False
+        mode = os.environ.get("VQACX_FUSED_VFEAT", "auto")
+        if mode == "0":
+            return False
+        # unbound (engine builders probe via wants_table_features outside
+        # apply): scope is None and is_initializing() would raise
+        if self.scope is not None and self.is_initializing():
+            return False
+        from ..core.policy import compute_dtype
+
+        if compute_dtype() != jnp.bfloat16:
+            return False
+        if mode == "interpret":
+            return True
+        if jax.devices()[0].platform != "tpu":
+            return False
+        return mode == "1" or len(jax.devices()) == 1
+
+    def wants_table_features(self) -> bool:
+        """Resolved OUTSIDE jit by engine step builders: when True, pass
+        ``features_table=``/``image_idxs=`` instead of the materialized
+        (B, K+1, dim_v) gather (requires the z cache)."""
+        return self._fused_vfeat_ok()
+
+    def _fused_vfeat(self, features_table, image_idxs, v_orig, w1, slices,
+                     batch, K):
+        """K-major gather + fused Pallas kernel -> (h_v (B,K,H), dist)."""
+        import os
+
+        from ..core.policy import cast_in
+        from ..ops.pallas.vfeat_kernel import vfeat_scores_pallas
+
+        interpret = os.environ.get("VQACX_FUSED_VFEAT") == "interpret"
+        offs = slices.offsets()
+        wo = cast_in(w1[slice(*offs["v_other"])])
+        wm = cast_in(w1[slice(*offs["v_mult"])])
+        dim_v = features_table.shape[-1]
+        # pad the *index* rows to the kernel's preferred example tile (64)
+        # so no padding copy of feature rows is ever materialized (garbage
+        # rows gathered from row 0, sliced off below)
+        pb = -(-batch // 64) * 64
+        idxs = image_idxs
+        if pb != batch:
+            idxs = jnp.pad(image_idxs, ((0, pb - batch), (0, 0)))
+        idx_k = jnp.transpose(idxs[:, 1:]).reshape(-1)  # K-major rows
+        xk3 = jnp.take(features_table, idx_k, axis=0).reshape(K, pb, dim_v)
+        xo = v_orig
+        if pb != batch:
+            xo = jnp.pad(xo, ((0, pb - batch), (0, 0)))
+        hkb, dkb = vfeat_scores_pallas(cast_in(xk3), cast_in(xo), wo, wm,
+                                       0, interpret)
+        # (K, pB, .) -> (B, K, .): XLA fuses these transposes into the
+        # elementwise feature-sum consumers
+        h_v = jnp.transpose(hkb, (1, 0, 2))[:batch]
+        v_dist = jnp.transpose(dkb[..., 0], (1, 0))[:batch]
+        return h_v, v_dist
 
 
 class PairwiseModel(CXModelBase):

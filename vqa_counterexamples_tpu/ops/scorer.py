@@ -72,7 +72,8 @@ def first_layer_decomposed(w1: jax.Array, b1: jax.Array,
                            q_emb: jax.Array, z_orig: jax.Array,
                            z_knns: jax.Array, a_emb_gt: jax.Array,
                            a_emb_knns: jax.Array = None,
-                           a_emb_knns_factored: tuple = None) -> jax.Array:
+                           a_emb_knns_factored: tuple = None,
+                           h_v_fused: jax.Array = None) -> jax.Array:
     """Pre-activation of linear_1 for all candidates at once.
 
     Shapes: v_orig (B,Dv); v_knns/v_mult (B,K,Dv); v_dist (B,K);
@@ -94,6 +95,12 @@ def first_layer_decomposed(w1: jax.Array, b1: jax.Array,
     cost ~0.37 ms/step at B=512/A=2000: a relayout-to-f32 copy of the
     logits, the divide pass, and a relayout back).  The f32 policy keeps
     the exact reference rounding (softmax then dot).
+
+    ``h_v_fused``: the precomputed v_other + v_mult first-layer
+    contribution (B, K, H) from the fused image-feature Pallas kernel
+    (ops/pallas/vfeat_kernel.py) — when given, ``v_knns``/``v_mult`` are
+    unused (may be None) and their GEMMs are skipped here; the kernel
+    already applied the same per-dot rounding.
     """
     offs = slices.offsets()
 
@@ -116,8 +123,12 @@ def first_layer_decomposed(w1: jax.Array, b1: jax.Array,
     # bf16 the (B*K, H) tensors flowing between first layer, tail, and
     # their backward transposes are bf16-resident — half the HBM traffic
     # of the earlier keep-everything-f32 form.
-    cand_names = ["v_other", "v_mult", "z_other"]
-    cand_feats = [v_knns, v_mult, z_knns]
+    if h_v_fused is None:
+        cand_names = ["v_other", "v_mult", "z_other"]
+        cand_feats = [v_knns, v_mult, z_knns]
+    else:
+        cand_names = ["z_other"]
+        cand_feats = [z_knns]
     h_aemb = 0.0
     if (a_emb_knns_factored is not None
             and isinstance(a_emb_knns_factored[0], str)):
@@ -175,6 +186,8 @@ def first_layer_decomposed(w1: jax.Array, b1: jax.Array,
     h_cand = h_aemb
     for name, feat in zip(cand_names, cand_feats):
         h_cand = h_cand + pdot(feat, wslice(name))
+    if h_v_fused is not None:
+        h_cand = h_cand + h_v_fused
 
     # Rank one-hot: identity GEMM == per-candidate rows of W (or a dense GEMM
     # for the lesion case where v_rank is random instead of one-hot).
