@@ -86,6 +86,17 @@ backward (dW accumulates across the sequential grid in VMEM); measured
 HBM demand dropped 629 -> 578 GB/s while throughput rose 7%.  Example
 tile swept same-session: 16=250.1k, 32=254.1k, 64=254.5k (default),
 96=251.9k, 128=244.0k.
+-> **282.3k median (188.2x, MFU 0.399), spread 0.3%** (2026-08-21) with
+TRANSPOSED weight operands for that kernel: the pallas custom-call's
+{1,0} operand-layout constraint on the (dim_v, H) slices had flipped
+the whole w1 param state to {1,0}, and the trace showed ~0.34 ms/step
+of NEW f32[14089,300] relayout copies around the Adam update plus a
+slower update fusion.  Passing the slices as (H, dim_v) — bitwise the
+{0,1} layout the classic GEMMs already read — makes the kernel operand
+a free bitcast and returns dW^T in the state's own layout; the copies
+vanished (256.6k -> 282.3k same-session).  Kernel GEMMs run at ~136
+TFLOP/s effective (vs 115 measured square-GEMM ceiling) — the v-path
+is now MXU-bound, not copy-bound.
 B=512 programs previously failed with transient
 'UNAVAILABLE: TPU device error' on most attempts (2026-08-16: 1/7, a
 failed program wedged the chip for minutes) so B=384 was the default;

@@ -49,7 +49,7 @@ def _rand_inputs(seed=0):
 
 def test_kernel_matches_reference():
     xk3, xo, wo, wm = _rand_inputs()
-    h, dist = vfeat_scores_pallas(xk3, xo, wo, wm, 0, True)
+    h, dist = vfeat_scores_pallas(xk3, xo, wo.T, wm.T, 0, True)
     h_ref, dist_ref = _naive(xk3, xo, wo, wm)
     np.testing.assert_allclose(
         np.asarray(jnp.transpose(h, (1, 0, 2)), np.float32),
@@ -64,7 +64,9 @@ def test_kernel_weight_grads_match():
     gh = jnp.asarray(np.random.RandomState(2).randn(K, B, H), jnp.float32)
 
     def loss_p(wo, wm):
-        h, dist = vfeat_scores_pallas(xk3, xo, wo, wm, 0, True)
+        # .T at the call site mirrors the model: grads flow back through
+        # the transpose so dW comes out (DV, H) like the XLA path's
+        h, dist = vfeat_scores_pallas(xk3, xo, wo.T, wm.T, 0, True)
         return jnp.sum(h.astype(jnp.float32) * gh) + 0.0 * jnp.sum(dist)
 
     def loss_r(wo, wm):

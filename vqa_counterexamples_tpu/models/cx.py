@@ -484,8 +484,11 @@ class NeuralModel(CXModelBase):
 
         interpret = os.environ.get("VQACX_FUSED_VFEAT") == "interpret"
         offs = slices.offsets()
-        wo = cast_in(w1[slice(*offs["v_other"])])
-        wm = cast_in(w1[slice(*offs["v_mult"])])
+        # transposed slices: bitwise the {0,1} layout the classic GEMMs
+        # read, so the pallas operand constraint can't flip the w1 state
+        # layout (see vfeat_kernel._fwd_kernel)
+        woT = cast_in(w1[slice(*offs["v_other"])]).T
+        wmT = cast_in(w1[slice(*offs["v_mult"])]).T
         dim_v = features_table.shape[-1]
         # pad the *index* rows to the kernel's preferred example tile (64)
         # so no padding copy of feature rows is ever materialized (garbage
@@ -499,7 +502,7 @@ class NeuralModel(CXModelBase):
         xo = v_orig
         if pb != batch:
             xo = jnp.pad(xo, ((0, pb - batch), (0, 0)))
-        hkb, dkb = vfeat_scores_pallas(cast_in(xk3), cast_in(xo), wo, wm,
+        hkb, dkb = vfeat_scores_pallas(cast_in(xk3), cast_in(xo), woT, wmT,
                                        0, interpret)
         # (K, pB, .) -> (B, K, .): XLA fuses these transposes into the
         # elementwise feature-sum consumers

@@ -56,7 +56,7 @@ DIST_EPS = 1e-6
 VMEM_LIMIT = 64 * 1024 * 1024
 
 
-def _fwd_kernel(xk_ref, xo_ref, wo_ref, wm_ref, h_ref, d_ref):
+def _fwd_kernel(xk_ref, xo_ref, woT_ref, wmT_ref, h_ref, d_ref):
     k, tb, dv = xk_ref.shape
     x3 = xk_ref[:]                       # (K, TB, Dv) bf16
     o = xo_ref[:]                        # (TB, Dv) bf16
@@ -64,16 +64,24 @@ def _fwd_kernel(xk_ref, xo_ref, wo_ref, wm_ref, h_ref, d_ref):
     xf = x3.reshape(k * tb, dv)
     mf = m3.reshape(k * tb, dv)
     out_dt = h_ref.dtype
-    h = (jnp.dot(xf, wo_ref[:], preferred_element_type=jnp.float32)
+    # weights arrive TRANSPOSED (H, Dv): bitwise the classic path's
+    # (Dv, H) {0,1} slice layout, so the pallas operand constraint never
+    # forces a relayout of the w1 param state (the un-transposed form
+    # measured ~0.34 ms/step of new f32[14089,300] {0,1}<->{1,0} copies
+    # around the Adam update)
+    dims_fwd = (((1,), (1,)), ((), ()))
+    h = (jax.lax.dot_general(xf, woT_ref[:], dimension_numbers=dims_fwd,
+                             preferred_element_type=jnp.float32)
          .astype(out_dt)
-         + jnp.dot(mf, wm_ref[:], preferred_element_type=jnp.float32)
+         + jax.lax.dot_general(mf, wmT_ref[:], dimension_numbers=dims_fwd,
+                               preferred_element_type=jnp.float32)
          .astype(out_dt))
     h_ref[:] = h.reshape(k, tb, -1)
     diff = o[None].astype(jnp.float32) - x3.astype(jnp.float32) + DIST_EPS
     d_ref[:] = jnp.sqrt(jnp.sum(diff * diff, axis=-1, keepdims=True))
 
 
-def _bwd_kernel(xk_ref, xo_ref, g_ref, dwo_ref, dwm_ref):
+def _bwd_kernel(xk_ref, xo_ref, g_ref, dwoT_ref, dwmT_ref):
     i = pl.program_id(0)
     k, tb, dv = xk_ref.shape
     x3 = xk_ref[:]
@@ -82,22 +90,22 @@ def _bwd_kernel(xk_ref, xo_ref, g_ref, dwo_ref, dwm_ref):
     xf = x3.reshape(k * tb, dv)
     mf = m3.reshape(k * tb, dv)
     gf = g_ref[:].reshape(k * tb, -1)
-    # contract over the K*TB row axis: dW = x^T g, f32 MXU accumulation
+    # contract over the K*TB row axis: dW^T = g^T x, f32 MXU accumulation
     dims = (((0,), (0,)), ((), ()))
-    dwo = jax.lax.dot_general(xf, gf, dimension_numbers=dims,
+    dwo = jax.lax.dot_general(gf, xf, dimension_numbers=dims,
                               preferred_element_type=jnp.float32)
-    dwm = jax.lax.dot_general(mf, gf, dimension_numbers=dims,
+    dwm = jax.lax.dot_general(gf, mf, dimension_numbers=dims,
                               preferred_element_type=jnp.float32)
 
     @pl.when(i == 0)
     def _():
-        dwo_ref[:] = dwo
-        dwm_ref[:] = dwm
+        dwoT_ref[:] = dwo
+        dwmT_ref[:] = dwm
 
     @pl.when(i > 0)
     def _():
-        dwo_ref[:] = dwo_ref[:] + dwo
-        dwm_ref[:] = dwm_ref[:] + dwm
+        dwoT_ref[:] = dwoT_ref[:] + dwo
+        dwmT_ref[:] = dwmT_ref[:] + dwm
 
 
 def _pick_tile(batch: int) -> int:
@@ -118,9 +126,9 @@ def _pick_tile(batch: int) -> int:
     return 16
 
 
-def _fwd_call(xk3, xo, wo, wm, tile_b: int, interpret: bool):
+def _fwd_call(xk3, xo, woT, wmT, tile_b: int, interpret: bool):
     k, batch, dv = xk3.shape
-    h = wo.shape[1]
+    h = woT.shape[0]
     grid = (batch // tile_b,)
     return pl.pallas_call(
         _fwd_kernel,
@@ -130,9 +138,9 @@ def _fwd_call(xk3, xo, wo, wm, tile_b: int, interpret: bool):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_b, dv), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((dv, h), lambda i: (0, 0),
+            pl.BlockSpec((h, dv), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((dv, h), lambda i: (0, 0),
+            pl.BlockSpec((h, dv), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -152,7 +160,7 @@ def _fwd_call(xk3, xo, wo, wm, tile_b: int, interpret: bool):
             bytes_accessed=(k * batch * dv + batch * dv + 2 * dv * h
                             + k * batch * h) * 2 + k * batch * 4,
             transcendentals=0),
-    )(xk3, xo, wo, wm)
+    )(xk3, xo, woT, wmT)
 
 
 def _bwd_call(xk3, xo, g, tile_b: int, interpret: bool):
@@ -171,14 +179,14 @@ def _bwd_call(xk3, xo, g, tile_b: int, interpret: bool):
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((dv, h), lambda i: (0, 0),
+            pl.BlockSpec((h, dv), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((dv, h), lambda i: (0, 0),
+            pl.BlockSpec((h, dv), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((dv, h), jnp.float32),
-            jax.ShapeDtypeStruct((dv, h), jnp.float32),
+            jax.ShapeDtypeStruct((h, dv), jnp.float32),
+            jax.ShapeDtypeStruct((h, dv), jnp.float32),
         ),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
@@ -192,15 +200,19 @@ def _bwd_call(xk3, xo, g, tile_b: int, interpret: bool):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def vfeat_scores_pallas(xk3: jax.Array, xo: jax.Array, w_other: jax.Array,
-                        w_mult: jax.Array, tile_b: int = 0,
+def vfeat_scores_pallas(xk3: jax.Array, xo: jax.Array, w_otherT: jax.Array,
+                        w_multT: jax.Array, tile_b: int = 0,
                         interpret: bool = False):
     """Fused v_other/v_mult/v_dist for K-major candidate rows.
 
     xk3: (K, B, dim_v) gathered candidate feature rows (K-major; frozen
     data — no cotangent is produced for them); xo: (B, dim_v) original
-    image rows; w_other/w_mult: (dim_v, H) first-layer weight slices in
-    the compute dtype.  Returns ``h (K, B, H)`` in xk3's dtype (each GEMM
+    image rows; w_otherT/w_multT: (H, dim_v) TRANSPOSED first-layer weight
+    slices in the compute dtype — bitwise the (dim_v, H) {0,1} layout the
+    classic GEMMs read, so passing ``w1_slice.T`` costs nothing and the
+    param state keeps its layout; cotangents come back (H, dim_v) and the
+    caller-side ``.T`` transposes them for free.  Returns ``h (K, B, H)``
+    in xk3's dtype (each GEMM
     f32-accumulated then rounded, summed in the storage dtype — ordering
     matches ops/scorer.py's pdot chain) and ``dist (K, B, 1)`` f32.  The
     caller transposes to (B, K, .); XLA fuses that into the consumers.
@@ -210,25 +222,26 @@ def vfeat_scores_pallas(xk3: jax.Array, xo: jax.Array, w_other: jax.Array,
     no feature-row padding copy is ever paid).  ``interpret`` runs the
     Mosaic interpreter (CPU tests).
     """
-    h, dist, _ = _vfeat_fwd_impl(xk3, xo, w_other, w_mult, tile_b, interpret)
+    h, dist, _ = _vfeat_fwd_impl(xk3, xo, w_otherT, w_multT, tile_b,
+                                 interpret)
     return h, dist
 
 
-def _vfeat_fwd_impl(xk3, xo, w_other, w_mult, tile_b, interpret):
+def _vfeat_fwd_impl(xk3, xo, w_otherT, w_multT, tile_b, interpret):
     k, batch, dv = xk3.shape
     tb = tile_b or _pick_tile(batch)
     assert batch % tb == 0, (batch, tb)
-    h, dist = _fwd_call(xk3, xo, w_other, w_mult, tb, interpret)
+    h, dist = _fwd_call(xk3, xo, w_otherT, w_multT, tb, interpret)
     return h, dist, tb
 
 
-def _vfeat_fwd(xk3, xo, w_other, w_mult, tile_b, interpret):
-    h, dist, tb = _vfeat_fwd_impl(xk3, xo, w_other, w_mult, tile_b,
+def _vfeat_fwd(xk3, xo, w_otherT, w_multT, tile_b, interpret):
+    h, dist, tb = _vfeat_fwd_impl(xk3, xo, w_otherT, w_multT, tile_b,
                                   interpret)
     # zero-size dtype carriers: residuals must be jax values, and the weight
     # cotangents must come back in the weights' own dtype
-    wo_proto = jnp.zeros((0,), w_other.dtype)
-    wm_proto = jnp.zeros((0,), w_mult.dtype)
+    wo_proto = jnp.zeros((0,), w_otherT.dtype)
+    wm_proto = jnp.zeros((0,), w_multT.dtype)
     del tb  # recomputed in bwd from static shapes
     return (h, dist), (xk3, xo, wo_proto, wm_proto)
 
