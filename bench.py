@@ -97,6 +97,15 @@ a free bitcast and returns dW^T in the state's own layout; the copies
 vanished (256.6k -> 282.3k same-session).  Kernel GEMMs run at ~136
 TFLOP/s effective (vs 115 measured square-GEMM ceiling) — the v-path
 is now MXU-bound, not copy-bound.
+-> **305.4k median (203.6x, MFU 0.432), spread 0.4%** (2026-08-21) with
+``mode="clip"`` on every hot-path ``jnp.take``: jax's default
+out-of-bounds mode ('fill') materializes a full-size compare+select
+pass over the gathered OUTPUT rows — visible in the trace as
+0.114 ms/step on the (K, B, 2048) candidate gather alone (where it
+cannot fuse into the pallas custom-call) plus smaller passes on every
+q/z cache-row gather.  Dataset indices are in-bounds by construction,
+so clamping the *indices* ('clip', torch semantics) is bitwise
+identical and index-side-free (282.3k -> 305.4k same-session).
 B=512 programs previously failed with transient
 'UNAVAILABLE: TPU device error' on most attempts (2026-08-16: 1/7, a
 failed program wedged the chip for minutes) so B=384 was the default;

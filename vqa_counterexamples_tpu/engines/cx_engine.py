@@ -283,12 +283,12 @@ def precompute_z_emb(model, params, features, image_idxs, q_table,
         # traced-start dynamic_slice: a static q_table[s:s+chunk] would be
         # a distinct program per offset (see precompute_v_proj)
         q_rows = _row_slice(q_table, jnp.int32(s), chunk)
-        v_rows = (jnp.take(v_table, bidx, axis=0)
+        v_rows = (jnp.take(v_table, bidx, axis=0, mode="clip")
                   if v_table is not None else None)
         # fuse_candidates ignores input_v entirely when v_proj is given —
         # skip the (chunk*(K+1), dim_v) feature gather (~420 MB/chunk)
         image_feats = (None if v_table is not None
-                       else jnp.take(features, bidx, axis=0))
+                       else jnp.take(features, bidx, axis=0, mode="clip"))
         out = fuse(params, image_feats, q_rows, v_rows)
         if out_dtype is not None:
             out = out.astype(out_dtype)
@@ -388,11 +388,14 @@ def cache_kwargs(batch, q_table, v_table, z_table=None) -> dict:
     image (``batch['image_idxs']``)."""
     kw = {}
     if q_table is not None:
-        kw["q_emb"] = jnp.take(q_table, batch["example_idxs"], axis=0)
+        kw["q_emb"] = jnp.take(q_table, batch["example_idxs"], axis=0,
+                                mode="clip")
     if v_table is not None:
-        kw["v_proj"] = jnp.take(v_table, batch["image_idxs"], axis=0)
+        kw["v_proj"] = jnp.take(v_table, batch["image_idxs"], axis=0,
+                                 mode="clip")
     if z_table is not None:
-        kw["z_emb"] = jnp.take(z_table, batch["example_idxs"], axis=0)
+        kw["z_emb"] = jnp.take(z_table, batch["example_idxs"], axis=0,
+                                mode="clip")
     return kw
 
 
@@ -589,7 +592,7 @@ def _make_cx_step_body(model, optimizer, *, recall_k: int, base_seed: int,
                             image_idxs=batch["image_idxs"])
             else:
                 image_features = jnp.take(features, batch["image_idxs"],
-                                          axis=0)
+                                          axis=0, mode="clip")
             scores = model.apply(
                 {"params": params}, image_features, batch["question_wids"],
                 batch["answer_aids"], *extra_apply_args,

@@ -300,7 +300,7 @@ class NeuralModel(CXModelBase):
             # table form without the fused gate (e.g. initialization or an
             # env override): materialize the classic gather and fall through
             image_features = jnp.take(
-                features_table, image_idxs.reshape(-1), axis=0
+                features_table, image_idxs.reshape(-1), axis=0, mode="clip"
             ).reshape(batch, k1, -1)
 
         if not spec["v_emb"]:
@@ -312,7 +312,8 @@ class NeuralModel(CXModelBase):
             z_emb = None
             fused_v = False
         if fused_v:
-            v_orig = jnp.take(features_table, image_idxs[:, 0], axis=0)
+            v_orig = jnp.take(features_table, image_idxs[:, 0], axis=0,
+                              mode="clip")
             v_knns = None
         else:
             v_orig = image_features[:, 0]
@@ -498,7 +499,10 @@ class NeuralModel(CXModelBase):
         if pb != batch:
             idxs = jnp.pad(image_idxs, ((0, pb - batch), (0, 0)))
         idx_k = jnp.transpose(idxs[:, 1:]).reshape(-1)  # K-major rows
-        xk3 = jnp.take(features_table, idx_k, axis=0).reshape(K, pb, dim_v)
+        # mode="clip": the default 'fill' adds a full-size select pass
+        # over the gathered rows that cannot fuse into the pallas call
+        xk3 = jnp.take(features_table, idx_k, axis=0,
+                       mode="clip").reshape(K, pb, dim_v)
         xo = v_orig
         if pb != batch:
             xo = jnp.pad(xo, ((0, pb - batch), (0, 0)))
